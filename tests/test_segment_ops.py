@@ -1,0 +1,78 @@
+"""Segment pooling / adjacency / centroid tests vs hand-computed
+references (SegmentExtractor + sparsify_features semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wild_visual_navigation_tpu.ops import segment_ops
+
+
+def test_segment_mean_pool():
+    seg = jnp.asarray([[0, 0, 1], [2, 2, 1]], dtype=jnp.int32)
+    feat = jnp.arange(2 * 2 * 3, dtype=jnp.float32).reshape(2, 2, 3)  # (D=2, H=2, W=3)
+    out, counts = segment_ops.segment_mean_pool(feat, seg, num_segments=4)
+    # segment 0: pixels (0,0),(0,1); segment 1: (0,2),(1,2); segment 2: (1,0),(1,1)
+    np.testing.assert_allclose(np.asarray(out[0]), [(0 + 1) / 2, (6 + 7) / 2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[1]), [(2 + 5) / 2, (8 + 11) / 2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[2]), [(3 + 4) / 2, (9 + 10) / 2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[3]), [0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(counts), [2, 2, 2, 0])
+
+
+def test_segment_mean_pool_ignores_unassigned():
+    seg = jnp.asarray([[0, -1], [-1, 1]], dtype=jnp.int32)
+    feat = jnp.asarray([[[1.0, 2.0], [3.0, 4.0]]])  # (1, 2, 2)
+    out, counts = segment_ops.segment_mean_pool(feat, seg, num_segments=2)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), [1.0, 4.0])
+    np.testing.assert_allclose(np.asarray(counts), [1, 1])
+
+
+def test_segment_masked_mean():
+    seg = jnp.asarray([[0, 0], [1, 1]], dtype=jnp.int32)
+    values = jnp.asarray([[0.5, 0.7], [0.9, 0.1]])
+    valid = jnp.asarray([[True, False], [False, False]])
+    mean, seg_valid = segment_ops.segment_masked_mean(values, valid, seg, num_segments=3)
+    np.testing.assert_allclose(np.asarray(mean), [0.5, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(seg_valid), [True, False, False])
+
+
+def test_segment_centers():
+    seg = jnp.zeros((4, 6), dtype=jnp.int32)
+    seg = seg.at[2:, 3:].set(1)
+    centers, valid = segment_ops.segment_centers(seg, num_segments=2)
+    # Segment 1 occupies x in {3,4,5}, y in {2,3} -> center (4.0, 2.5) in (x, y)
+    np.testing.assert_allclose(np.asarray(centers[1]), [4.0, 2.5], atol=1e-5)
+    assert bool(valid[0]) and bool(valid[1])
+
+
+def test_adjacency_list():
+    seg = jnp.asarray([[0, 0, 1], [2, 2, 1]], dtype=jnp.int32)
+    edges, valid = segment_ops.adjacency_list(seg, num_segments=3, max_edges=16)
+    e = np.asarray(edges).T[np.asarray(valid)]
+    pairs = {frozenset(p) for p in e.tolist()}
+    assert frozenset((0, 1)) in pairs
+    assert frozenset((0, 2)) in pairs
+    assert frozenset((1, 2)) in pairs
+    assert frozenset((0, 0)) not in pairs
+
+
+def test_segment_grid():
+    seg = segment_ops.segment_grid(64, 64, cell_size=32)
+    assert int(seg[0, 0]) == 0 and int(seg[0, 33]) == 1
+    assert int(seg[33, 0]) == 2 and int(seg[33, 33]) == 3
+    assert int(jnp.max(seg)) == 3
+
+
+def test_segment_random():
+    seg = segment_ops.segment_random(jax.random.PRNGKey(0), 16, 16, n_random_pixels=10)
+    vals = np.asarray(seg).reshape(-1)
+    assigned = vals[vals >= 0]
+    assert len(assigned) == 10
+    assert sorted(assigned.tolist()) == list(range(10))
+
+
+def test_pixelwise_edges():
+    edges = segment_ops.pixelwise_edges(2, 2)
+    pairs = {tuple(p) for p in np.asarray(edges).T.tolist()}
+    assert (0, 1) in pairs and (2, 3) in pairs and (0, 2) in pairs and (1, 3) in pairs

@@ -1,0 +1,116 @@
+"""Image resize / crop / feature-interpolation primitives in pure jnp.
+
+Replaces the reference's torchvision transforms and F.interpolate calls:
+  * `T.Resize(size, NEAREST) + T.CenterCrop(size)` — the image path of
+    ImageProjector.resize_image (image_projector.py:57) and
+    DinoInterface's transform (dino_interface.py:52-59).
+  * `F.interpolate(..., mode="bilinear", align_corners=True)` — the
+    dense-feature upsample (dino_interface.py:90).
+
+All functions take NCHW float arrays and static output sizes, so they
+fuse into the surrounding jitted programs (no host round-trips).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _nearest_indices(out_size: int, in_size: int) -> jnp.ndarray:
+    # torch's F.interpolate(mode="nearest") mapping: floor(i * in / out)
+    idx = jnp.floor(jnp.arange(out_size) * (in_size / out_size)).astype(jnp.int32)
+    return jnp.clip(idx, 0, in_size - 1)
+
+
+@partial(jax.jit, static_argnames=("new_h", "new_w"))
+def resize_nearest(img: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
+    """Nearest-neighbor resize of (..., H, W) to (..., new_h, new_w)."""
+    h, w = img.shape[-2], img.shape[-1]
+    iy = _nearest_indices(new_h, h)
+    ix = _nearest_indices(new_w, w)
+    return img[..., iy, :][..., ix]
+
+
+def resize_smaller_edge_nearest(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    """torchvision `Resize(size)` semantics: scale the smaller edge to
+    `size`, keeping aspect ratio (nearest interpolation)."""
+    h, w = img.shape[-2], img.shape[-1]
+    if h <= w:
+        new_h, new_w = size, max(1, round(size * w / h))
+    else:
+        new_h, new_w = max(1, round(size * h / w)), size
+    return resize_nearest(img, new_h, new_w)
+
+
+def center_crop(img: jnp.ndarray, crop_h: int, crop_w: int | None = None) -> jnp.ndarray:
+    """torchvision `CenterCrop` on (..., H, W); pads with zeros when the
+    crop is larger than the input (matching torchvision)."""
+    if crop_w is None:
+        crop_w = crop_h
+    h, w = img.shape[-2], img.shape[-1]
+    pad_h, pad_w = max(0, crop_h - h), max(0, crop_w - w)
+    if pad_h or pad_w:
+        cfg = [(0, 0)] * (img.ndim - 2) + [
+            (pad_h // 2, pad_h - pad_h // 2),
+            (pad_w // 2, pad_w - pad_w // 2),
+        ]
+        img = jnp.pad(img, cfg)
+        h, w = img.shape[-2], img.shape[-1]
+    top = (h - crop_h) // 2
+    left = (w - crop_w) // 2
+    return img[..., top : top + crop_h, left : left + crop_w]
+
+
+def resize_image(img: jnp.ndarray, new_h: int, new_w: int | None = None) -> jnp.ndarray:
+    """ImageProjector.resize_image semantics (image_projector.py:55-59):
+    square target -> aspect-preserving resize + center crop; otherwise a
+    direct (new_h, new_w) nearest resize."""
+    if new_w is None or new_w == new_h:
+        return center_crop(resize_smaller_edge_nearest(img, new_h), new_h)
+    return resize_nearest(img, new_h, new_w)
+
+
+@partial(jax.jit, static_argnames=("new_h", "new_w"))
+def interpolate_bilinear(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
+    """Bilinear resize with align_corners=True on (..., H, W).
+
+    Matches `F.interpolate(features, size, mode="bilinear",
+    align_corners=True)` at dino_interface.py:90 — required for
+    numerical parity of the dense-feature upsample.
+    """
+    h, w = x.shape[-2], x.shape[-1]
+
+    def coords(out, inp):
+        if out == 1:
+            return jnp.zeros((1,), jnp.float32)
+        return jnp.arange(out, dtype=jnp.float32) * ((inp - 1) / (out - 1))
+
+    fy, fx = coords(new_h, h), coords(new_w, w)
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (fy - y0.astype(jnp.float32))[:, None]
+    wx = (fx - x0.astype(jnp.float32))[None, :]
+
+    a = x[..., y0, :][..., x0]
+    b = x[..., y0, :][..., x1]
+    c = x[..., y1, :][..., x0]
+    d = x[..., y1, :][..., x1]
+    top = a * (1 - wx) + b * wx
+    bot = c * (1 - wx) + d * wx
+    return top * (1 - wy) + bot * wy
+
+
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+
+
+def imagenet_normalize(img: jnp.ndarray) -> jnp.ndarray:
+    """Channel-wise ImageNet normalization of (..., 3, H, W) in [0, 1]."""
+    mean = IMAGENET_MEAN.reshape((3, 1, 1)).astype(img.dtype)
+    std = IMAGENET_STD.reshape((3, 1, 1)).astype(img.dtype)
+    return (img - mean) / std

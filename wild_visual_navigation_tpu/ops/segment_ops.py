@@ -1,0 +1,171 @@
+"""Segment (superpixel) ops: pooling, adjacency, centroids, generators.
+
+TPU-native replacements for three reference components:
+  * `FeatureExtractor.sparsify_features` python-per-segment loop
+    (/root/reference/wild_visual_navigation/feature_extractor/feature_extractor.py:390-396)
+    -> one-hot matmul segment mean that runs on the MXU.
+  * `SegmentExtractor.adjacency_list/centers`
+    (feature_extractor/segment_extractor.py:39-92) -> shifted-compare +
+    fixed-size `jnp.unique`, and segment-sum centroids.
+  * the grid / pixelwise / random segmentation generators
+    (feature_extractor.py:179-235).
+
+All outputs are fixed-shape (padded to a static `num_segments`) with
+validity masks — the framework-wide convention replacing the
+reference's dynamic per-image segment counts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_mean_pool(dense_features: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
+    """Mean-pool dense features per segment via a one-hot matmul (MXU).
+
+    Args:
+        dense_features: (D, H, W) float.
+        seg: (H, W) int32 segment ids in [0, num_segments) or -1 for
+            "unassigned" pixels (random segmentation mode).
+        num_segments: static segment capacity S.
+
+    Returns:
+        feat: (S, D) per-segment mean features (0 for empty segments).
+        counts: (S,) pixel counts per segment.
+    """
+    D = dense_features.shape[0]
+    X = dense_features.reshape(D, -1).T  # (HW, D)
+    ids = seg.reshape(-1)
+    onehot = jax.nn.one_hot(ids, num_segments, dtype=X.dtype)  # (HW, S); -1 -> all zeros
+    sums = jnp.dot(onehot.T, X, preferred_element_type=jnp.float32)  # (S, D)
+    counts = jnp.sum(onehot, axis=0)  # (S,)
+    feat = sums / jnp.maximum(counts[:, None], 1.0)
+    return feat, counts
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_masked_mean(values: jnp.ndarray, value_valid: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
+    """Per-segment mean of a masked scalar field.
+
+    The vectorized equivalent of MissionNode.update_supervision_signal
+    (traversability_estimator/nodes.py:400-440): the reference builds an
+    (N, M, S) one-hot broadcast; we use the same one-hot-matmul trick as
+    feature pooling.
+
+    Args:
+        values: (H, W) float field (e.g. fused supervision mask).
+        value_valid: (H, W) bool — which pixels carry signal.
+        seg: (H, W) int32 segment ids.
+        num_segments: static capacity S.
+
+    Returns:
+        mean: (S,) per-segment mean over valid pixels (0 where none).
+        valid: (S,) bool — reference semantics `signal > 0`
+            (nodes.py:440).
+    """
+    ids = seg.reshape(-1)
+    onehot = jax.nn.one_hot(ids, num_segments, dtype=jnp.float32)  # (HW, S)
+    v = jnp.where(value_valid, values, 0.0).reshape(-1)
+    m = value_valid.reshape(-1).astype(jnp.float32)
+    sums = jnp.dot(onehot.T, (v * m)[:, None], preferred_element_type=jnp.float32)[:, 0]
+    counts = jnp.dot(onehot.T, m[:, None], preferred_element_type=jnp.float32)[:, 0]
+    mean = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), 0.0)
+    return mean, mean > 0
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_centers(seg: jnp.ndarray, num_segments: int):
+    """Per-segment centroid in (x, y) pixel coordinates.
+
+    Matches SegmentExtractor.centers (segment_extractor.py:69-92), which
+    returns (x, y) means per segment id.
+
+    Returns:
+        centers: (S, 2) float32 (x, y); 0 for empty segments.
+        valid: (S,) bool.
+    """
+    H, W = seg.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ids = seg.reshape(-1)
+    onehot = jax.nn.one_hot(ids, num_segments, dtype=jnp.float32)
+    coords = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)  # (HW, 2)
+    sums = jnp.dot(onehot.T, coords, preferred_element_type=jnp.float32)
+    counts = jnp.sum(onehot, axis=0)
+    centers = sums / jnp.maximum(counts[:, None], 1.0)
+    return centers, counts > 0
+
+
+@partial(jax.jit, static_argnames=("num_segments", "max_edges"))
+def adjacency_list(seg: jnp.ndarray, num_segments: int, max_edges: int = 512):
+    """Undirected adjacency of neighboring segments, fixed size.
+
+    Matches SegmentExtractor.adjacency_list (segment_extractor.py:39-67):
+    4-neighborhood boundary detection, pair-hash dedup. The reference's
+    directional conv filters reduce to shifted compares; the float64
+    pair hash becomes an int32 hash deduped by fixed-size `jnp.unique`.
+
+    Returns:
+        edges: (2, max_edges) int32 (left, right) pairs, padded.
+        edge_valid: (max_edges,) bool.
+    """
+    s = seg.astype(jnp.int32)
+    div = num_segments + 1
+
+    # Horizontal neighbors: (s[y, x], s[y, x+1]) where they differ.
+    a_h, b_h = s[:, :-1], s[:, 1:]
+    # Vertical neighbors: (s[y, x], s[y+1, x]).
+    a_v, b_v = s[:-1, :], s[1:, :]
+
+    def pairs(a, b):
+        diff = (a != b) & (a >= 0) & (b >= 0)
+        key = a + b * div
+        # reference emits both (left,right) and (right,left) directions;
+        # keep both so the undirected dedup matches.
+        key2 = b + a * div
+        return jnp.where(diff, key, -1).reshape(-1), jnp.where(diff, key2, -1).reshape(-1)
+
+    h1, h2 = pairs(a_h, b_h)
+    v1, v2 = pairs(a_v, b_v)
+    keys = jnp.concatenate([h1, h2, v1, v2])
+    uniq = jnp.unique(keys, size=max_edges + 1, fill_value=-1)
+    # Drop the -1 padding slot (sorted first when present).
+    uniq = uniq[-max_edges:] if uniq.shape[0] > max_edges else uniq
+    valid = uniq >= 0
+    le = jnp.where(valid, uniq % div, 0)
+    ri = jnp.where(valid, uniq // div, 0)
+    return jnp.stack([le, ri], axis=0).astype(jnp.int32), valid
+
+
+def segment_grid(height: int, width: int, cell_size: int = 32) -> jnp.ndarray:
+    """Grid segmentation (feature_extractor.py:198-219): row-major cell ids."""
+    ys = jnp.arange(height) // cell_size
+    xs = jnp.arange(width) // cell_size
+    ncols = -(-width // cell_size)
+    return (ys[:, None] * ncols + xs[None, :]).astype(jnp.int32)
+
+
+def segment_pixelwise(height: int, width: int) -> jnp.ndarray:
+    """Pixel-wise segmentation (feature_extractor.py:179-196)."""
+    return jnp.arange(height * width, dtype=jnp.int32).reshape(height, width)
+
+
+def segment_random(key: jax.Array, height: int, width: int, n_random_pixels: int = 100) -> jnp.ndarray:
+    """Random-pixel segmentation (feature_extractor.py:227-235): `n`
+    random pixels get ids 0..n-1, the rest are -1 (unassigned)."""
+    perm = jax.random.permutation(key, height * width)[:n_random_pixels]
+    seg = jnp.full((height * width,), -1, dtype=jnp.int32)
+    seg = seg.at[perm].set(jnp.arange(n_random_pixels, dtype=jnp.int32))
+    return seg.reshape(height, width)
+
+
+def pixelwise_edges(height: int, width: int) -> jnp.ndarray:
+    """4-neighbor edges for pixelwise segmentation (feature_extractor.py:192-194)."""
+    seg = segment_pixelwise(height, width)
+    hor = jnp.stack([seg[:, :-1].reshape(-1), seg[:, 1:].reshape(-1)], axis=0)
+    ver = jnp.stack([seg[:-1, :].reshape(-1), seg[1:, :].reshape(-1)], axis=0)
+    return jnp.concatenate([hor, ver], axis=1)
