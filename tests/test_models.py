@@ -1,0 +1,101 @@
+"""Model-head tests: shapes, sigmoid ranges, registry mapping, RNVP
+invertibility (the reference has no unit tests for these; we add
+structural + numerical invariants)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wild_visual_navigation_tpu.models import (
+    DoubleMLP,
+    LinearRnvp,
+    SimpleGCN,
+    SimpleMLP,
+    get_model,
+)
+from wild_visual_navigation_tpu.models.registry import camel_to_snake
+
+
+def test_simple_mlp_shapes_and_sigmoid():
+    m = SimpleMLP(input_size=90, hidden_sizes=(256, 32, 1), reconstruction=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (17, 90))
+    params = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(params, x)
+    assert out.shape == (17, 1 + 90)
+    trav = np.asarray(out[:, 0])
+    assert np.all(trav >= 0) and np.all(trav <= 1)
+    # reconstruction head is unconstrained
+    assert np.asarray(out[:, 1:]).std() > 0
+
+
+def test_simple_mlp_no_reconstruction():
+    m = SimpleMLP(input_size=8, hidden_sizes=(16, 1), reconstruction=False)
+    x = jnp.ones((3, 8))
+    params = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(params, x).shape == (3, 1)
+
+
+def test_double_mlp():
+    m = DoubleMLP(input_size=384, hidden_sizes=(64, 32, 1))
+    x = jax.random.normal(jax.random.PRNGKey(0), (5, 384))
+    params = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(params, x)
+    assert out.shape == (5, 1 + 384)
+    assert np.all(np.asarray(out[:, 0]) <= 1)
+
+
+def test_registry():
+    assert camel_to_snake("SimpleMLP") == "simple_mlp"
+    assert camel_to_snake("LinearRnvp") == "linear_rnvp"
+    assert camel_to_snake("DoubleMLP") == "double_mlp"
+    cfg = {
+        "name": "SimpleMLP",
+        "simple_mlp_cfg": {"input_size": 384, "hidden_sizes": [256, 32, 1], "reconstruction": True},
+    }
+    m = get_model(cfg)
+    assert isinstance(m, SimpleMLP)
+    assert m.input_size == 384 and m.hidden_sizes == (256, 32, 1)
+
+
+def test_gcn_forward():
+    m = SimpleGCN(input_size=16, hidden_sizes=(32, 1), reconstruction=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (10, 16))
+    edges = jnp.asarray([[0, 1, 2], [1, 2, 3]], dtype=jnp.int32)
+    edge_valid = jnp.asarray([True, True, False])
+    params = m.init(jax.random.PRNGKey(1), x, edges, edge_valid)
+    out = m.apply(params, x, edges, edge_valid)
+    assert out.shape == (10, 1 + 16)
+    # invalid edge must not change output
+    edges2 = edges.at[1, 2].set(9)
+    out2 = m.apply(params, x, edges2, edge_valid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+def test_rnvp_forward_shapes():
+    m = LinearRnvp(input_size=32, coupling_topology=(20,), flow_n=3, use_permutation=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (7, 32))
+    params = m.init(jax.random.PRNGKey(1), x)
+    res = m.apply(params, x)
+    assert res["z"].shape == (7, 32)
+    assert res["log_det"].shape == (7,)
+    assert res["logprob"].shape == (7, 32)
+
+
+def test_rnvp_invertible():
+    m = LinearRnvp(input_size=16, coupling_topology=(24,), flow_n=4, use_permutation=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (5, 16))
+    params = m.init(jax.random.PRNGKey(1), x)
+    res = m.apply(params, x)
+    x_rec, log_det_b = m.apply(params, res["z"], method=m._flow_backward)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_rec), atol=1e-4)
+    # backward log-det is the negative of forward
+    np.testing.assert_allclose(np.asarray(res["log_det"]), -np.asarray(log_det_b), atol=1e-4)
+
+
+def test_rnvp_mask_flip_without_permutation():
+    m = LinearRnvp(input_size=8, coupling_topology=(8,), flow_n=2, use_permutation=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 8))
+    params = m.init(jax.random.PRNGKey(1), x)
+    res = m.apply(params, x)
+    x_rec, _ = m.apply(params, res["z"], method=m._flow_backward)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_rec), atol=1e-4)
