@@ -1,0 +1,208 @@
+"""Feature-extraction stack tests: ViT shapes, flash-attention parity,
+SLIC, dense SIFT, STEGO head, and the facade's segmentation x feature
+sweep (mirroring the reference's tests/test_feature_extractor.py
+cartesian-product strategy at a reduced, CPU-friendly size)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wild_visual_navigation_tpu.feature_extractor import (
+    DinoInterface,
+    FeatureExtractor,
+    StegoInterface,
+    dense_sift_features,
+)
+from wild_visual_navigation_tpu.models.stego_head import StegoHead, cosine_kmeans
+from wild_visual_navigation_tpu.models.vit import VIT_CONFIGS, dense_features, make_vit
+from wild_visual_navigation_tpu.ops.flash_attention import flash_attention, xla_attention
+from wild_visual_navigation_tpu.ops.slic import rgb_to_lab, slic
+
+
+def _toy_image(h=56, w=56, key=0):
+    k = jax.random.PRNGKey(key)
+    img = jax.random.uniform(k, (1, 3, h, w))
+    # paint a bright square so segmentation has structure
+    img = img.at[:, :, : h // 2, : w // 2].set(0.9)
+    return img
+
+
+# ------------------------------------------------------------------ ViT
+
+
+def test_vit_dense_features_shape():
+    import dataclasses
+
+    vit = make_vit("dinov2", "vit_small", 14, attention_impl="xla")
+    vit = vit.__class__(dataclasses.replace(vit.cfg, depth=2), attention_impl="xla")
+    img = jnp.zeros((2, 3, 56, 56))
+    params = vit.init(jax.random.PRNGKey(0), img)
+    feat = dense_features(vit, params, img)
+    assert feat.shape == (2, 384, 4, 4)
+
+
+def test_vit_register_tokens():
+    import dataclasses
+
+    base = VIT_CONFIGS["dinov2_vit_small_14"]
+    cfg = dataclasses.replace(base, depth=1, num_register_tokens=4)
+    vit = make_vit("dinov2", "vit_small", 14).__class__(cfg, attention_impl="xla")
+    img = jnp.zeros((1, 3, 28, 28))
+    params = vit.init(jax.random.PRNGKey(0), img)
+    out = vit.apply(params, img)
+    assert out["patch_tokens"].shape == (1, 4, 384)  # registers stripped
+
+
+def test_vit_pos_embed_interpolation():
+    import dataclasses
+
+    base = VIT_CONFIGS["dino_vit_small_8"]
+    cfg = dataclasses.replace(base, depth=1)
+    vit = make_vit("dino", "vit_small", 8).__class__(cfg, attention_impl="xla")
+    params = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 224, 224)))
+    # Different input size reuses the same params via interpolation.
+    out = vit.apply(params, jnp.zeros((1, 3, 112, 112)))
+    assert out["patch_tokens"].shape == (1, 14 * 14, 384)
+
+
+def test_flash_attention_matches_xla():
+    key = jax.random.PRNGKey(0)
+    B, H, S, D = 2, 3, 200, 64  # S not a multiple of the block size
+    q = jax.random.normal(jax.random.fold_in(key, 0), (B, H, S, D), dtype=jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, S, D), dtype=jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, S, D), dtype=jnp.float32)
+    ref = xla_attention(q, k, v, sm_scale=D**-0.5)
+    out = flash_attention(q, k, v, sm_scale=D**-0.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_flash_attention_bf16():
+    key = jax.random.PRNGKey(1)
+    B, H, S, D = 1, 2, 256, 64
+    q = jax.random.normal(key, (B, H, S, D), dtype=jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, S, D), dtype=jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, S, D), dtype=jnp.bfloat16)
+    ref = xla_attention(q, k, v, sm_scale=D**-0.5)
+    out = flash_attention(q, k, v, sm_scale=D**-0.5, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32), atol=3e-2
+    )
+
+
+# ----------------------------------------------------------------- SLIC
+
+
+def test_rgb_to_lab_white():
+    white = jnp.ones((3, 2, 2))
+    lab = rgb_to_lab(white)
+    np.testing.assert_allclose(float(lab[0, 0, 0]), 100.0, atol=0.1)
+    np.testing.assert_allclose(np.asarray(lab[1:, 0, 0]), [0.0, 0.0], atol=0.5)
+
+
+def test_slic_segments_structure():
+    # Locally-smooth image (ramps + mild noise) — the regime SLIC is
+    # designed for; per-pixel white noise fragments any SLIC variant.
+    H = W = 64
+    ys = jnp.linspace(0, 1, H)[:, None] * jnp.ones((1, W))
+    xs = jnp.ones((H, 1)) * jnp.linspace(0, 1, W)[None, :]
+    noise = jax.random.uniform(jax.random.PRNGKey(0), (3, H, W)) * 0.05
+    img = jnp.stack([ys, xs, 0.5 * jnp.ones((H, W))]) + noise
+    seg = slic(img, num_components=16, compactness=10, iterations=5)
+    assert seg.shape == (64, 64)
+    ids = np.unique(np.asarray(seg))
+    assert len(ids) > 4 and ids.min() >= 0 and ids.max() < 16
+    # compactness: neighboring pixels mostly share segments
+    same = (np.asarray(seg[:, :-1]) == np.asarray(seg[:, 1:])).mean()
+    assert same > 0.85
+
+
+def test_slic_separates_color_regions():
+    img = jnp.zeros((3, 32, 32))
+    img = img.at[:, :, :16].set(jnp.asarray([0.9, 0.1, 0.1])[:, None, None])
+    img = img.at[:, :, 16:].set(jnp.asarray([0.1, 0.1, 0.9])[:, None, None])
+    seg = slic(img, num_components=8, compactness=1.0, iterations=8)
+    left = set(np.unique(np.asarray(seg[:, :14])))
+    right = set(np.unique(np.asarray(seg[:, 18:])))
+    assert not (left & right)
+
+
+# ----------------------------------------------------------------- SIFT
+
+
+def test_dense_sift_shapes_and_norm():
+    img = _toy_image(32, 32)[0]
+    feat = dense_sift_features(img)
+    assert feat.shape == (384, 32, 32)
+    norms = np.linalg.norm(np.asarray(feat[:128]), axis=0)
+    assert np.all(norms < 1.01)
+    assert norms.mean() > 0.5  # mostly unit-ish where gradients exist
+
+
+# ---------------------------------------------------------------- STEGO
+
+
+def test_stego_head_and_kmeans():
+    head = StegoHead(in_dim=32, code_dim=12, n_classes=5)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (1, 49, 32))
+    params = head.init(jax.random.PRNGKey(1), feats)
+    out = head.apply(params, feats)
+    assert out["code"].shape == (1, 49, 12)
+    assert out["cluster_logits"].shape == (1, 49, 5)
+    labels, centers = cosine_kmeans(out["code"][0], jax.random.PRNGKey(2), n_clusters=4, iterations=5)
+    assert labels.shape == (49,)
+    assert set(np.unique(np.asarray(labels))).issubset(set(range(4)))
+
+
+# --------------------------------------------------------------- facade
+
+
+@pytest.mark.parametrize("seg_type", ["grid", "slic", "random", "none"])
+def test_facade_segmentation_modes(seg_type):
+    fe = FeatureExtractor(
+        key=jax.random.PRNGKey(0),
+        segmentation_type=seg_type,
+        feature_type="sift",
+        input_size=32,
+        cell_size=16,
+        slic_num_components=8,
+        n_random_pixels=16,
+        max_edges=256,
+    )
+    img = _toy_image(32, 32)
+    ex = fe.extract(img)
+    H = W = 32
+    assert ex.segments.shape == (H, W)
+    if seg_type == "none":
+        assert ex.features.shape == (H * W, 384)
+    else:
+        S = fe.num_segments(H, W)
+        assert ex.features.shape == (S, 384)
+        assert ex.centers.shape == (S, 2)
+    assert ex.edges.shape[0] == 2
+
+
+def test_facade_dino_tiny():
+    # Full DINO ViT-S/8 path at a tiny input size (16 tokens on CPU).
+    fe = FeatureExtractor(
+        key=jax.random.PRNGKey(0),
+        segmentation_type="grid",
+        feature_type="dino",
+        input_size=32,
+        cell_size=16,
+        attention_impl="xla",
+    )
+    img = _toy_image(32, 32)
+    ex = fe.extract(img)
+    assert ex.features.shape == (4, 384)
+    assert bool(jnp.all(jnp.isfinite(ex.features)))
+
+
+def test_stego_interface_tiny():
+    si = StegoInterface(key=jax.random.PRNGKey(0), input_size=16, n_image_clusters=4, attention_impl="xla")
+    img = _toy_image(16, 16)
+    code, cluster = si.inference(img)
+    assert code.shape == (1, 90, 16, 16)
+    assert cluster.shape == (1, 16, 16)
+    assert si.linear_segments.shape == (1, 16, 16)
+    assert int(jnp.max(cluster)) < 4

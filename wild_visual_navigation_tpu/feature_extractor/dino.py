@@ -1,0 +1,97 @@
+"""DINO/DINOv2 dense-feature interface.
+
+TPU-native replacement for the reference DinoInterface
+(/root/reference/wild_visual_navigation/feature_extractor/dino_interface.py:15-108):
+aspect-preserving NEAREST resize + center crop + ImageNet normalization,
+frozen ViT forward, bilinear (align_corners=True) upsample of the patch
+features back to (H, H) pixels — all fused into one jitted program per
+input shape (the reference's torchvision transform ran as separate
+kernels with intermediate HBM traffic).
+
+Weights: random-init by default (tests / architecture benchmarks), or
+converted torch-hub checkpoints via tools/convert_dino_weights.py
+(zero-egress environments cannot download them at runtime).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.vit import VisionTransformer, make_vit
+from ..ops.resize import center_crop, imagenet_normalize, interpolate_bilinear, resize_smaller_edge_nearest
+
+
+def _default_attention_impl() -> str:
+    return "flash" if jax.devices()[0].platform != "cpu" else "xla"
+
+
+class DinoInterface:
+    def __init__(
+        self,
+        key: Optional[jax.Array] = None,
+        backbone: str = "dino",
+        input_size: int = 448,
+        backbone_type: str = "vit_small",
+        patch_size: int = 8,
+        attention_impl: Optional[str] = None,
+        params=None,
+        dtype=jnp.bfloat16,
+    ):
+        if attention_impl is None:
+            attention_impl = _default_attention_impl()
+        self._input_size = input_size
+        self._backbone = backbone
+        self._backbone_type = backbone_type
+        self._patch_size = patch_size
+        self.vit: VisionTransformer = make_vit(
+            backbone, backbone_type, patch_size, attention_impl=attention_impl, dtype=dtype
+        )
+        if params is None:
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            params = self.vit.init(key, jnp.zeros((1, 3, input_size, input_size)))
+        self.params = params
+
+        @partial(jax.jit, static_argnames=("out_h", "out_w"))
+        def _infer(params, img, out_h, out_w):
+            x = resize_smaller_edge_nearest(img, self._input_size)
+            x = center_crop(x, self._input_size)
+            x = imagenet_normalize(x)
+            out = self.vit.apply(params, x)
+            hp, wp = out["grid"]
+            B = img.shape[0]
+            feat = out["patch_tokens"].reshape(B, hp, wp, -1).transpose(0, 3, 1, 2)
+            return interpolate_bilinear(feat, out_h, out_w)
+
+        self._infer = _infer
+
+    @property
+    def feature_dim(self) -> int:
+        return self.vit.cfg.embed_dim
+
+    @property
+    def input_size(self) -> int:
+        return self._input_size
+
+    @property
+    def backbone(self) -> str:
+        return self._backbone
+
+    @property
+    def backbone_type(self) -> str:
+        return self._backbone_type
+
+    @property
+    def vit_patch_size(self) -> int:
+        return self._patch_size
+
+    def inference(self, img: jnp.ndarray) -> jnp.ndarray:
+        """img: (B, 3, H, W) RGB in [0, 1] -> (B, D, H, H) dense
+        features, upsampled to the input's (H, H) exactly like the
+        reference (dino_interface.py:87-91)."""
+        H = img.shape[2]
+        return self._infer(self.params, img, H, H)

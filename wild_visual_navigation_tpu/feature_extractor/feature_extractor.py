@@ -1,0 +1,213 @@
+"""FeatureExtractor facade: image -> (edges, features, segments, centers).
+
+TPU-native re-design of the reference facade
+(/root/reference/wild_visual_navigation/feature_extractor/feature_extractor.py:19-398).
+Same dispatch surface — segmentation_type in {none(pixelwise), grid,
+slic, random, stego}, feature_type in {dino, dinov2, stego, sift,
+histogram, none} — but every output is fixed-shape with a validity
+mask (the framework-wide convention): `num_segments` is a static
+capacity, the per-segment feature matrix is (S, D) with a mask instead
+of the reference's dynamic (n_segments, D).
+
+The per-segment mean pooling runs as a one-hot matmul on the MXU
+(ops/segment_ops.segment_mean_pool), replacing the reference's python
+per-segment loop (feature_extractor.py:390-396); SLIC runs on-device
+(ops/slic) instead of fast_slic on CPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import segment_ops
+from ..ops.slic import slic
+from .dino import DinoInterface
+from .sift import dense_sift_features
+from .stego import StegoInterface
+
+
+@dataclass
+class Extraction:
+    """Fixed-shape extraction result for one image."""
+
+    edges: jnp.ndarray  # (2, E) int32
+    edge_valid: jnp.ndarray  # (E,) bool
+    features: jnp.ndarray  # (S, D) per-segment means (or (HW, D) pixelwise)
+    segments: jnp.ndarray  # (H, W) int32 ids
+    centers: jnp.ndarray  # (S, 2) float (x, y)
+    center_valid: jnp.ndarray  # (S,) bool — segment exists
+    dense_features: Optional[jnp.ndarray] = None  # (D, H, W)
+
+
+class FeatureExtractor:
+    def __init__(
+        self,
+        key: Optional[jax.Array] = None,
+        segmentation_type: str = "slic",
+        feature_type: str = "dino",
+        input_size: int = 448,
+        **kwargs,
+    ):
+        self._segmentation_type = segmentation_type
+        self._feature_type = feature_type
+        self._input_size = input_size
+        if key is None:
+            key = jax.random.PRNGKey(42)
+        self._key = key
+
+        # Feature backbone (reference feature_extractor.py:45-81).
+        if feature_type == "stego":
+            self._feature_dim = 90
+            self._extractor = StegoInterface(
+                key=key,
+                input_size=input_size,
+                n_image_clusters=kwargs.get("n_image_clusters", 20),
+                run_clustering=kwargs.get("run_clustering", True),
+                run_crf=kwargs.get("run_crf", False),
+                backbone_params=kwargs.get("backbone_params"),
+                head_params=kwargs.get("head_params"),
+                attention_impl=kwargs.get("attention_impl"),
+            )
+        elif "dino" in feature_type:
+            self._extractor = DinoInterface(
+                key=key,
+                input_size=input_size,
+                backbone=kwargs.get("backbone", feature_type),
+                backbone_type=kwargs.get("backbone_type", "vit_small"),
+                patch_size=kwargs.get("patch_size", 8 if feature_type == "dino" else 14),
+                params=kwargs.get("backbone_params"),
+                attention_impl=kwargs.get("attention_impl"),
+            )
+            self._feature_dim = self._extractor.feature_dim
+        elif feature_type == "sift":
+            self._feature_dim = 128
+            self._extractor = None
+        elif feature_type == "histogram":
+            # Reference stub (feature_extractor.py:273-274).
+            self._feature_dim = 90
+            self._extractor = None
+        elif feature_type == "none":
+            self._feature_dim = 0
+            self._extractor = None
+        else:
+            raise ValueError(f"feature_type [{feature_type}] not supported")
+
+        # Segmentation settings (reference :83-93).
+        self._slic_num_components = kwargs.get("slic_num_components", 100)
+        self._slic_compactness = kwargs.get("slic_compactness", 10)
+        self._cell_size = kwargs.get("cell_size", 32)
+        self._n_random_pixels = kwargs.get("n_random_pixels", 100)
+        self._max_edges = kwargs.get("max_edges", 1024)
+
+    # -------------------------------------------------------- properties
+    @property
+    def feature_type(self) -> str:
+        return self._feature_type
+
+    @property
+    def feature_dim(self) -> int:
+        return self._feature_dim
+
+    @property
+    def segmentation_type(self) -> str:
+        return self._segmentation_type
+
+    def num_segments(self, height: int, width: int) -> int:
+        """Static per-image segment capacity for the configured mode."""
+        st = self._segmentation_type
+        if st == "slic":
+            return self._slic_num_components
+        if st == "grid":
+            return (-(-height // self._cell_size)) * (-(-width // self._cell_size))
+        if st == "random":
+            return self._n_random_pixels
+        if st == "stego":
+            return getattr(self._extractor, "_n_image_clusters", 20)
+        if st in ("none", None):
+            return height * width
+        raise ValueError(st)
+
+    # ------------------------------------------------------------- steps
+    def compute_segments(self, img: jnp.ndarray, key: Optional[jax.Array] = None):
+        """(B=1, 3, H, W) -> (edges, edge_valid, seg (H,W), centers,
+        center_valid). Mirrors reference compute_segments (:151-177)."""
+        H, W = img.shape[2], img.shape[3]
+        st = self._segmentation_type
+        if st in ("none", None):
+            seg = segment_ops.segment_pixelwise(H, W)
+            edges = segment_ops.pixelwise_edges(H, W)
+            ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
+            xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
+            centers = jnp.stack([xs, ys], axis=-1)
+            return edges, jnp.ones(edges.shape[1], bool), seg, centers, jnp.ones(H * W, bool)
+        if st == "grid":
+            seg = segment_ops.segment_grid(H, W, self._cell_size)
+        elif st == "slic":
+            seg = slic(img[0], num_components=self._slic_num_components, compactness=self._slic_compactness)
+        elif st == "random":
+            if key is None:
+                key = self._key
+            seg = segment_ops.segment_random(key, H, W, self._n_random_pixels)
+        elif st == "stego":
+            self._extractor.inference(img, key=key)
+            seg = self._extractor.cluster_segments[0].astype(jnp.int32)
+        else:
+            raise ValueError(f"segmentation_type [{st}] not supported")
+
+        S = self.num_segments(H, W)
+        edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=self._max_edges)
+        centers, center_valid = segment_ops.segment_centers(seg, S)
+        return edges, edge_valid, seg, centers, center_valid
+
+    def compute_features(self, img: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """(1, 3, H, W) -> (D, H, W) dense features (reference :251-271)."""
+        ft = self._feature_type
+        if "dino" in ft:
+            return self._extractor.inference(img)[0]
+        if ft == "stego":
+            if self._segmentation_type == "stego" and self._extractor.features is not None:
+                # Reuse the features computed during segmentation
+                # (reference _stego_features_already_computed flag, :300-308).
+                return self._extractor.features[0]
+            self._extractor.inference(img, key=key)
+            return self._extractor.features[0]
+        if ft == "sift":
+            return dense_sift_features(img[0])
+        if ft == "histogram":
+            raise NotImplementedError("histogram features are a stub in the reference too (feature_extractor.py:273)")
+        if ft == "none":
+            return None
+        raise ValueError(ft)
+
+    def sparsify_features(self, dense_features: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
+        """Per-segment mean pooling -> ((S, D), counts). MXU one-hot
+        matmul replacing the reference python loop (:390-396)."""
+        return segment_ops.segment_mean_pool(dense_features, seg, num_segments)
+
+    # -------------------------------------------------------------- main
+    def extract(self, img: jnp.ndarray, key: Optional[jax.Array] = None, return_dense_features: bool = False) -> Extraction:
+        """img: (1, 3, H, W) RGB in [0,1]. Reference extract (:95-128)."""
+        H, W = img.shape[2], img.shape[3]
+        edges, edge_valid, seg, centers, center_valid = self.compute_segments(img, key=key)
+        dense = self.compute_features(img, key=key)
+
+        if self._segmentation_type in ("none", None):
+            feat = dense.reshape(dense.shape[0], -1).T if dense is not None else None  # (HW, D)
+        elif dense is not None:
+            feat, _ = self.sparsify_features(dense, seg, self.num_segments(H, W))
+        else:
+            feat = None
+
+        return Extraction(
+            edges=edges,
+            edge_valid=edge_valid,
+            features=feat,
+            segments=seg,
+            centers=centers,
+            center_valid=center_valid,
+            dense_features=dense if return_dense_features else None,
+        )

@@ -1,0 +1,204 @@
+"""Vision Transformer (DINO / DINOv2) backbone in flax, TPU-first.
+
+Replaces the reference's external `stego.backbones.backbone.get_backbone`
+torch models (/root/reference/wild_visual_navigation/feature_extractor/
+dino_interface.py:12,45). Supports the backbone zoo the reference
+exposes: DINO ViT-S/B with patch 8/16 and DINOv2 ViT-S/B/L with
+patch 14 (+ optional register tokens), returning dense per-patch
+features for the traversability head.
+
+TPU design choices:
+  * bfloat16 activations on the MXU, fp32 params / layernorms;
+  * attention via the Pallas flash kernel (ops/flash_attention.py) or
+    plain XLA einsum (attention_impl switch — XLA for CPU tests);
+  * bicubic position-embedding interpolation for arbitrary input
+    sizes, resolved statically per (H, W) so jit caches one program
+    per camera resolution (the online system uses a fixed resolution,
+    reference ros_params.py:71-72);
+  * module/parameter naming mirrors the torch checkpoints 1:1 modulo
+    transposes so tools/convert_dino_weights.py is a dumb rename.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.flash_attention import flash_attention, xla_attention
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 14
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 0  # 4 for dinov2 *_reg variants
+    layerscale_init: Optional[float] = 1e-5  # None for DINO v1
+    pos_grid_size: int = 37  # DINOv2 pretrained at 518/14; DINO v1: 224/patch
+    ln_eps: float = 1e-6
+
+
+# The backbone zoo of the reference (dino_interface.py backbone /
+# backbone_type / patch_size combinations).
+VIT_CONFIGS = {
+    "dino_vit_small_8": ViTConfig(patch_size=8, embed_dim=384, depth=12, num_heads=6, layerscale_init=None, pos_grid_size=28),
+    "dino_vit_small_16": ViTConfig(patch_size=16, embed_dim=384, depth=12, num_heads=6, layerscale_init=None, pos_grid_size=14),
+    "dino_vit_base_8": ViTConfig(patch_size=8, embed_dim=768, depth=12, num_heads=12, layerscale_init=None, pos_grid_size=28),
+    "dino_vit_base_16": ViTConfig(patch_size=16, embed_dim=768, depth=12, num_heads=12, layerscale_init=None, pos_grid_size=14),
+    "dinov2_vit_small_14": ViTConfig(patch_size=14, embed_dim=384, depth=12, num_heads=6),
+    "dinov2_vit_base_14": ViTConfig(patch_size=14, embed_dim=768, depth=12, num_heads=12),
+    "dinov2_vit_large_14": ViTConfig(patch_size=14, embed_dim=1024, depth=24, num_heads=16),
+}
+
+
+class Attention(nn.Module):
+    cfg: ViTConfig
+    attention_impl: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, D = x.shape
+        H = self.cfg.num_heads
+        Dh = D // H
+        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, Dh).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, Dh)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        scale = Dh**-0.5
+        if self.attention_impl == "flash":
+            out = flash_attention(q, k, v, sm_scale=scale)
+        elif self.attention_impl == "flash_interpret":
+            out = flash_attention(q, k, v, sm_scale=scale, interpret=True)
+        else:
+            out = xla_attention(q, k, v, sm_scale=scale)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+        return nn.Dense(D, dtype=self.dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    cfg: ViTConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        hidden = int(self.cfg.embed_dim * self.cfg.mlp_ratio)
+        x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.cfg.embed_dim, dtype=self.dtype, name="fc2")(x)
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+    attention_impl: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="norm1")(x)
+        h = Attention(cfg, self.attention_impl, self.dtype, name="attn")(h)
+        if cfg.layerscale_init is not None:
+            gamma1 = self.param("ls1_gamma", nn.initializers.constant(cfg.layerscale_init), (cfg.embed_dim,))
+            h = h * gamma1
+        x = x + h
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="norm2")(x)
+        h = Mlp(cfg, self.dtype, name="mlp")(h)
+        if cfg.layerscale_init is not None:
+            gamma2 = self.param("ls2_gamma", nn.initializers.constant(cfg.layerscale_init), (cfg.embed_dim,))
+            h = h * gamma2
+        return x + h
+
+
+def _interpolate_pos_embed(pos: jnp.ndarray, grid0: int, hp: int, wp: int) -> jnp.ndarray:
+    """Bicubic resize of the (grid0*grid0, D) patch position table to
+    (hp*wp, D); matches DINO/DINOv2's interpolate_pos_encoding."""
+    D = pos.shape[-1]
+    if (hp, wp) == (grid0, grid0):
+        return pos
+    grid = pos.reshape(grid0, grid0, D)
+    out = jax.image.resize(grid, (hp, wp, D), method="bicubic")
+    return out.reshape(hp * wp, D)
+
+
+class VisionTransformer(nn.Module):
+    cfg: ViTConfig
+    attention_impl: str = "xla"
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray) -> dict:
+        """img: (B, 3, H, W) normalized. Returns dict with
+        patch_tokens (B, Hp*Wp, D) fp32, cls_token (B, D), grid (Hp, Wp)."""
+        cfg = self.cfg
+        B, C, H, W = img.shape
+        hp, wp = H // cfg.patch_size, W // cfg.patch_size
+
+        x = img.transpose(0, 2, 3, 1).astype(self.dtype)  # NHWC
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)  # (B, hp, wp, D)
+        x = x.reshape(B, hp * wp, cfg.embed_dim)
+
+        cls_token = self.param("cls_token", nn.initializers.truncated_normal(0.02), (1, 1, cfg.embed_dim))
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, 1 + cfg.pos_grid_size**2, cfg.embed_dim),
+        )
+        pos_patch = _interpolate_pos_embed(pos_embed[0, 1:], cfg.pos_grid_size, hp, wp)
+        x = x + pos_patch[None].astype(self.dtype)
+        cls = (cls_token + pos_embed[:, :1]).astype(self.dtype)
+        tokens = [jnp.broadcast_to(cls, (B, 1, cfg.embed_dim))]
+        if cfg.num_register_tokens:
+            reg = self.param(
+                "register_tokens", nn.initializers.truncated_normal(0.02), (1, cfg.num_register_tokens, cfg.embed_dim)
+            )
+            tokens.append(jnp.broadcast_to(reg.astype(self.dtype), (B, cfg.num_register_tokens, cfg.embed_dim)))
+        x = jnp.concatenate(tokens + [x], axis=1)
+
+        for i in range(cfg.depth):
+            x = Block(cfg, self.attention_impl, self.dtype, name=f"block_{i}")(x)
+
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="norm")(x)
+        n_prefix = 1 + cfg.num_register_tokens
+        return {
+            "patch_tokens": x[:, n_prefix:].astype(jnp.float32),
+            "cls_token": x[:, 0].astype(jnp.float32),
+            "grid": (hp, wp),
+        }
+
+
+def dense_features(vit: VisionTransformer, params, img: jnp.ndarray) -> jnp.ndarray:
+    """(B, 3, H, W) -> (B, D, Hp, Wp) dense patch features, the
+    get_backbone output contract consumed by DinoInterface."""
+    out = vit.apply(params, img)
+    hp, wp = out["grid"]
+    B = img.shape[0]
+    return out["patch_tokens"].reshape(B, hp, wp, -1).transpose(0, 3, 1, 2)
+
+
+def make_vit(
+    backbone: str = "dinov2",
+    backbone_type: str = "vit_small",
+    patch_size: int = 14,
+    attention_impl: str = "xla",
+    dtype=jnp.bfloat16,
+) -> VisionTransformer:
+    """Instantiate by the reference's (backbone, backbone_type,
+    patch_size) triple (dino_interface.py:16-27)."""
+    size = backbone_type.replace("vit_", "")
+    key = f"{backbone}_vit_{size}_{patch_size}"
+    if key not in VIT_CONFIGS:
+        raise ValueError(f"Unknown ViT config {key}; have {sorted(VIT_CONFIGS)}")
+    return VisionTransformer(VIT_CONFIGS[key], attention_impl=attention_impl, dtype=dtype)
