@@ -1,0 +1,315 @@
+"""Online-engine tests: graphs, nodes, mission buffer, the full
+estimator loop (mission ingestion -> supervision reprojection -> train),
+and the supervision generator. Mirrors the reference's run_base_graph /
+run_temporal_window_graph assertions (graphs.py:319-392) plus a full
+synthetic online session."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wild_visual_navigation_tpu.traversability import (
+    BaseGraph,
+    DistanceWindowGraph,
+    MaxElementsGraph,
+    MissionNode,
+    SupervisionNode,
+    TemporalWindowGraph,
+    TraversabilityEstimator,
+)
+from wild_visual_navigation_tpu.traversability.nodes import BaseNode, pose_distance_np
+from wild_visual_navigation_tpu.supervision import SupervisionGenerator, velocity_selection_matrix
+from wild_visual_navigation_tpu.utils.operation_modes import WVNMode
+
+
+def _pose(x=0.0, y=0.0, z=0.0):
+    T = np.eye(4)
+    T[:3, 3] = [x, y, z]
+    return T
+
+
+def _node(t, x):
+    return BaseNode(timestamp=t, pose_base_in_world=_pose(x))
+
+
+# ---------------------------------------------------------------- graphs
+
+
+def test_base_graph_gating_and_queries():
+    g = BaseGraph(edge_distance=0.5)
+    assert g.add_node(_node(0.0, 0.0))
+    assert not g.add_node(_node(0.1, 0.2))  # too close
+    assert g.add_node(_node(0.2, 0.6))
+    assert g.add_node(_node(0.3, 1.4))
+    assert g.get_num_nodes() == 3
+    # radius query around the first node
+    near = g.get_nodes_within_radius_range(g.get_first_node(), 0.0, 1.0)
+    assert len(near) == 2  # itself (d=0) and the one at 0.6
+    span = g.get_nodes_within_timespan(0.15, 0.35)
+    assert len(span) == 2
+    assert g.get_last_node().timestamp == 0.3
+    assert g.get_previous_node(g.get_last_node()).timestamp == 0.2
+
+
+def test_max_elements_graph_fifo():
+    g = MaxElementsGraph(edge_distance=0.0, max_elements=3)
+    for i in range(6):
+        g.add_node(_node(float(i), i * 1.0))
+    assert g.get_num_nodes() == 3
+    assert g.get_nodes()[0].timestamp == 3.0
+
+
+def test_temporal_window_graph_eviction():
+    g = TemporalWindowGraph(edge_distance=0.0, time_window=2.0)
+    for i in range(6):
+        g.add_node(_node(float(i), i * 1.0))
+    ts = [n.timestamp for n in g.get_nodes()]
+    assert min(ts) >= 3.0
+
+
+def test_distance_window_graph_eviction():
+    g = DistanceWindowGraph(edge_distance=0.0, max_distance=2.5)
+    for i in range(6):
+        g.add_node(_node(float(i), i * 1.0))
+    xs = [n.pose_base_in_world[0, 3] for n in g.get_nodes()]
+    assert min(xs) >= 2.5
+
+
+def test_pose_distance_np_matches_translation():
+    assert pose_distance_np(_pose(0, 0, 0), _pose(3, 4, 0)) == pytest.approx(5.0, abs=1e-6)
+
+
+# --------------------------------------------------------------- footprint
+
+
+def test_supervision_node_footprint():
+    a = SupervisionNode(timestamp=0.0, pose_base_in_world=_pose(0), width=0.4, length=0.6, height=0.3)
+    b = SupervisionNode(timestamp=1.0, pose_base_in_world=_pose(1.0), width=0.4, length=0.6, height=0.3)
+    fp = b.make_footprint_with_node(a, grid_size=5)
+    assert fp.shape == (20, 3)
+    # footprint spans between the two poses laterally +-width/2
+    assert fp[:, 0].min() >= -0.01 and fp[:, 0].max() <= 1.01
+    assert abs(fp[:, 1]).max() == pytest.approx(0.2, abs=1e-6)
+
+    b.is_untraversable = True
+    b.twist_in_base = np.array([1.0, 0.0, 0.0])
+    wall = b.make_footprint_with_node(a, grid_size=5)
+    assert wall.shape == (25, 3)
+    # vertical plane: spans z
+    assert wall[:, 2].max() - wall[:, 2].min() == pytest.approx(0.3, abs=1e-6)
+
+
+# --------------------------------------------------------------- estimator
+
+
+def _make_estimator(**kw):
+    args = dict(
+        model_cfg={
+            "name": "SimpleMLP",
+            "simple_mlp_cfg": {"input_size": 16, "hidden_sizes": [32, 1], "reconstruction": True},
+        },
+        lr=1e-3,
+        max_distance=3.0,
+        image_distance_thr=0.1,
+        supervision_distance_thr=0.05,
+        min_samples_for_training=2,
+        batch_size=4,
+        buffer_capacity=16,
+        num_segments=9,
+        feature_dim=16,
+        image_height=48,
+        image_width=64,
+        reprojection_fanout=8,
+    )
+    args.update(kw)
+    return TraversabilityEstimator(**args)
+
+
+def _camera_K(h=48, w=64):
+    return np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]])
+
+
+def _downward_cam_pose(x):
+    """Camera at (x, 0, 2) looking straight down."""
+    T = np.eye(4)
+    T[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]])  # z down
+    T[:3, 3] = [x, 0, 2.0]
+    return T
+
+
+def _add_mission(est, t, x, key):
+    node = MissionNode(timestamp=t, pose_base_in_world=_pose(x), pose_cam_in_base=np.linalg.inv(_pose(x)) @ _downward_cam_pose(x))
+    feats = jax.random.normal(key, (9, 16))
+    seg = jnp.arange(9, dtype=jnp.int32).reshape(3, 3).repeat(16, 0).repeat(22, 1)[:48, :64]
+    fv = jnp.ones((9,), bool)
+    return est.add_mission_node(node, feats, fv, seg, jnp.asarray(_camera_K())), node
+
+
+def test_estimator_full_online_loop():
+    est = _make_estimator()
+    key = jax.random.PRNGKey(0)
+
+    # Mission nodes along x
+    for i, x in enumerate(np.linspace(0, 1.0, 5)):
+        ok, node = _add_mission(est, float(i), float(x), jax.random.fold_in(key, i))
+        assert ok or i > 0  # first must insert
+
+    assert est._mission_graph.get_num_nodes() >= 3
+    assert est._mission_graph.get_num_valid_nodes() == 0  # no supervision yet
+
+    # Supervision nodes walking under the cameras
+    for i, x in enumerate(np.linspace(0, 1.0, 6)):
+        sn = SupervisionNode(
+            timestamp=float(i) + 0.5,
+            pose_base_in_world=_pose(float(x)),
+            width=0.4,
+            length=0.4,
+            height=0.3,
+            twist_in_base=np.array([1.0, 0, 0]),
+            desired_twist_in_base=np.array([1.0, 0, 0]),
+            traversability=0.9,
+            traversability_var=1.0,
+            is_untraversable=False,
+        )
+        est.add_supervision_node(sn)
+
+    n_valid = est._mission_graph.get_num_valid_nodes()
+    assert n_valid >= 3, f"reprojection produced no supervised nodes ({n_valid})"
+
+    # signals hold the traversability value
+    sig = np.asarray(est.buffer.signal)
+    sv = np.asarray(est.buffer.signal_valid)
+    assert sv.any()
+    np.testing.assert_allclose(sig[sv], 0.9, atol=1e-5)
+
+    # Training steps decrease loss
+    losses = []
+    for _ in range(30):
+        out = est.train()
+        if out.get("loss_total", -1) > 0:
+            losses.append(out["loss_total"])
+    assert len(losses) >= 25
+    assert losses[-1] < losses[0]
+    assert est.step == len(losses)
+
+
+def test_estimator_pessimistic_fusion():
+    """A second, lower-traversability pass must lower fused signals
+    (fmin semantics, traversability_estimator.py:283-284)."""
+    est = _make_estimator()
+    key = jax.random.PRNGKey(1)
+    _add_mission(est, 0.0, 0.0, key)
+
+    def supervise(t, x, trav):
+        sn = SupervisionNode(
+            timestamp=t, pose_base_in_world=_pose(x), width=0.4, length=0.4, height=0.3,
+            twist_in_base=np.array([1.0, 0, 0]), desired_twist_in_base=np.array([1.0, 0, 0]),
+            traversability=trav, traversability_var=1.0, is_untraversable=False,
+        )
+        est.add_supervision_node(sn)
+
+    supervise(0.0, -0.1, 0.9)
+    supervise(0.1, 0.1, 0.9)
+    sig1 = np.asarray(est.buffer.signal).copy()
+    sv1 = np.asarray(est.buffer.signal_valid)
+    assert sv1.any()
+    supervise(0.2, -0.05, 0.3)
+    supervise(0.3, 0.05, 0.3)
+    sig2 = np.asarray(est.buffer.signal)
+    sv2 = np.asarray(est.buffer.signal_valid)
+    overlap = sv1 & sv2
+    assert overlap.any()
+    assert (sig2[overlap] <= sig1[overlap] + 1e-6).all()
+    assert (sig2[overlap] < 0.5).any()
+
+
+def test_estimator_checkpoint_roundtrip(tmp_path):
+    est = _make_estimator()
+    key = jax.random.PRNGKey(2)
+    for i, x in enumerate(np.linspace(0, 0.6, 4)):
+        _add_mission(est, float(i), float(x), jax.random.fold_in(key, i))
+    for i, x in enumerate(np.linspace(0, 0.6, 5)):
+        sn = SupervisionNode(
+            timestamp=float(i) + 0.5, pose_base_in_world=_pose(float(x)), width=0.4, length=0.4, height=0.3,
+            twist_in_base=np.array([1.0, 0, 0]), desired_twist_in_base=np.array([1.0, 0, 0]),
+            traversability=0.8, traversability_var=1.0, is_untraversable=False,
+        )
+        est.add_supervision_node(sn)
+    for _ in range(5):
+        est.train()
+    path = est.save_checkpoint(str(tmp_path))
+    step0, loss0 = est.step, est.loss
+    params0 = jax.tree_util.tree_leaves(est.params)[0].copy()
+
+    est2 = _make_estimator()
+    est2.load_checkpoint(path)
+    assert est2.step == step0
+    assert est2.loss == loss0
+    np.testing.assert_array_equal(np.asarray(jax.tree_util.tree_leaves(est2.params)[0]), np.asarray(params0))
+
+
+def test_estimator_anomaly_mode():
+    est = _make_estimator(
+        model_cfg={
+            "name": "LinearRnvp",
+            "linear_rnvp_cfg": {"input_size": 16, "coupling_topology": [16], "flow_n": 2, "use_permutation": True},
+        },
+        anomaly_detection=True,
+    )
+    key = jax.random.PRNGKey(3)
+    for i, x in enumerate(np.linspace(0, 0.6, 4)):
+        _add_mission(est, float(i), float(x), jax.random.fold_in(key, i))
+    for i, x in enumerate(np.linspace(0, 0.6, 5)):
+        sn = SupervisionNode(
+            timestamp=float(i) + 0.5, pose_base_in_world=_pose(float(x)), width=0.4, length=0.4, height=0.3,
+            twist_in_base=np.array([1.0, 0, 0]), desired_twist_in_base=np.array([1.0, 0, 0]),
+            traversability=0.8, traversability_var=1.0, is_untraversable=False,
+        )
+        est.add_supervision_node(sn)
+    out = {}
+    for _ in range(5):
+        out = est.train()
+    assert out.get("loss_total", -1) != -1
+    assert np.isfinite(out["loss_total"])
+
+
+# -------------------------------------------------- supervision generator
+
+
+def test_velocity_selection_matrix():
+    S = velocity_selection_matrix(["vx", "vy"])
+    assert S.shape == (2, 6)
+    v = np.arange(6, dtype=np.float32)
+    np.testing.assert_allclose(S @ v, [0.0, 1.0])
+
+
+def test_supervision_generator_tracking():
+    sg = SupervisionGenerator(
+        kf_process_cov=0.1, kf_meas_cov=10.0, kf_outlier_rejection="huber",
+        kf_outlier_rejection_delta=0.5, sigmoid_slope=30, sigmoid_cutoff=0.2,
+        untraversable_thr=0.05, time_horizon=0.05, graph_max_length=1.0,
+    )
+    # Perfect tracking -> high traversability
+    for _ in range(20):
+        trav, var, untrav = sg.update_velocity_tracking(
+            np.array([1.0, 0, 0, 0, 0, 0]), np.array([1.0, 0, 0, 0, 0, 0]), max_velocity=0.8, velocities=["vx", "vy"]
+        )
+    assert trav > 0.9 and not untrav
+    # Large persistent error -> low traversability, eventually untraversable
+    for _ in range(60):
+        trav, var, untrav = sg.update_velocity_tracking(
+            np.array([0.0, 0, 0, 0, 0, 0]), np.array([2.0, 0, 0, 0, 0, 0]), max_velocity=0.8, velocities=["vx", "vy"]
+        )
+    assert trav < 0.3
+
+
+def test_twist_dataset_alignment():
+    from wild_visual_navigation_tpu.supervision import TwistDataset
+
+    root = "/root/reference/assets/twist_measurements"
+    ds = TwistDataset(root, "current_robot_twist_short.csv", "desired_robot_twist_short.csv", mode="train", seq_size=4)
+    assert len(ds) > 10
+    ts, cur, des = ds[0]
+    assert ts.shape == (4, 1) and cur.shape == (4, 6) and des.shape == (4, 6)
+    assert np.all(np.diff(ts[:, 0]) >= 0)

@@ -1,0 +1,484 @@
+"""TraversabilityEstimator — the online self-supervised learning engine.
+
+Re-design of the reference engine
+(/root/reference/wild_visual_navigation/traversability_estimator/traversability_estimator.py:33-505)
+around two jitted device programs plus host-side graph bookkeeping:
+
+  * `_reproject_update` — the supervision hot path (reference
+    add_supervision_node, :198-300): for a fixed fan-out of B_max
+    in-range mission nodes, project the footprint polygon with each
+    node's camera, rasterize the convex hull, fuse pessimistically
+    (min with the +inf-sentinel mask ≡ the reference's fmin over NaN
+    masks), and recompute per-segment supervision signals — one XLA
+    program, no per-node host loop.
+  * `_train_step` — sample-batch forward/loss/backward/Adam plus the
+    confidence-generator state update, fused (reference train(),
+    :448-497, ran four separate torch phases).
+
+Host side: mission/supervision graphs gate node insertion by SE(3)
+distance and answer radius queries (numpy); the device ring buffer
+(mission_buffer.py) holds the padded training state.
+
+Checkpointing keeps the reference's three surfaces (SURVEY.md §5):
+hot-swap state (params + confidence stats), full mission checkpoints
+(params + optimizer + confidence + step), and dataset export.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import threading
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from ..models import get_model
+from ..ops.projection import Camera
+from ..ops.rasterize import project_and_render
+from ..ops.segment_ops import segment_masked_mean
+from ..utils.confidence_generator import (
+    ConfidenceConfig,
+    confidence_init,
+    confidence_load_state_dict,
+    confidence_state_dict,
+)
+from ..utils.data import TravBatch
+from ..utils.loss import (
+    AnomalyLossConfig,
+    TraversabilityLossConfig,
+    anomaly_loss,
+    traversability_loss,
+)
+from ..utils.operation_modes import WVNMode
+from .graphs import BaseGraph, DistanceWindowGraph, MaxElementsGraph
+from .mission_buffer import MissionBuffer, buffer_init, buffer_insert
+from .nodes import MissionNode, SupervisionNode
+
+_MAX_FOOTPRINT_POINTS = 64  # static pad for footprint polygons
+
+
+class TraversabilityEstimator:
+    def __init__(
+        self,
+        model_cfg: dict,
+        loss_cfg: Optional[TraversabilityLossConfig] = None,
+        anomaly_loss_cfg: Optional[AnomalyLossConfig] = None,
+        lr: float = 1e-3,
+        max_distance: float = 3.0,
+        image_distance_thr: float = 0.2,
+        supervision_distance_thr: float = 0.1,
+        min_samples_for_training: int = 5,
+        batch_size: int = 8,
+        mode: WVNMode = WVNMode.ONLINE,
+        extraction_store_folder: Optional[str] = None,
+        anomaly_detection: bool = False,
+        # fixed-shape capacities
+        buffer_capacity: int = 256,
+        num_segments: int = 100,
+        feature_dim: int = 384,
+        image_height: int = 224,
+        image_width: int = 224,
+        reprojection_fanout: int = 32,
+        seed: int = 42,
+        vis_node_index: int = 10,
+    ):
+        self._mode = mode
+        self._extraction_store_folder = extraction_store_folder
+        self._min_samples_for_training = min_samples_for_training
+        self._batch_size = batch_size
+        self._anomaly_detection = anomaly_detection
+        self._H, self._W = image_height, image_width
+        self._S, self._D = num_segments, feature_dim
+        self._B_max = reprojection_fanout
+        self._vis_node_index = vis_node_index
+        self._vis_mission_node = None
+
+        # Graphs (reference traversability_estimator.py:55-62)
+        self._supervision_graph = DistanceWindowGraph(
+            max_distance=max_distance, edge_distance=supervision_distance_thr
+        )
+        if mode == WVNMode.EXTRACT_LABELS:
+            self._mission_graph: BaseGraph = MaxElementsGraph(
+                edge_distance=image_distance_thr, max_elements=buffer_capacity
+            )
+        else:
+            self._mission_graph = BaseGraph(edge_distance=image_distance_thr)
+
+        # Device state
+        self._buffer = buffer_init(buffer_capacity, num_segments, feature_dim, image_height, image_width)
+        self._next_slot = 0
+        self._slot_to_node: dict[int, MissionNode] = {}
+
+        # Model + optimizer + loss (reference :80-100)
+        self._model = get_model(model_cfg)
+        rng = jax.random.PRNGKey(seed)
+        if anomaly_detection:
+            self._params = self._model.init(rng, jnp.zeros((1, feature_dim)))
+            self._loss_cfg = anomaly_loss_cfg or AnomalyLossConfig()
+            self._cg_cfg: ConfidenceConfig = self._loss_cfg.confidence
+        else:
+            self._params = self._model.init(rng, jnp.zeros((1, feature_dim)))
+            self._loss_cfg = loss_cfg or TraversabilityLossConfig()
+            self._cg_cfg = self._loss_cfg.confidence
+        self._tx = optax.adam(lr)
+        self._opt_state = self._tx.init(self._params)
+        self._cg_state = confidence_init()
+        self._step = 0
+        self._loss = float("inf")
+
+        self._learning_lock = threading.Lock()
+        self._pause_training = False
+        self._pause_mission_graph = False
+        self._pause_supervision_graph = False
+
+        self._build_jitted()
+
+    # ------------------------------------------------------------ jitted
+    def _build_jitted(self):
+        H, W, S = self._H, self._W, self._S
+        model, tx = self._model, self._tx
+        loss_cfg = self._loss_cfg
+        anomaly = self._anomaly_detection
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _reproject_update(buf: MissionBuffer, idx, footprint, trav):
+            """idx: (B_max,) int32 slots (== capacity for padding, which
+            scatter-drops); footprint: (P, 3); trav: scalar."""
+            K_sel = buf.K[idx.clip(0, buf.capacity - 1)]
+            pose_sel = buf.pose_cam_in_world[idx.clip(0, buf.capacity - 1)]
+            masks_sel = buf.supervision_mask[idx.clip(0, buf.capacity - 1)]
+            seg_sel = buf.seg[idx.clip(0, buf.capacity - 1)]
+            B = idx.shape[0]
+            cam = Camera(K=K_sel, height=H, width=W)
+            pts = jnp.broadcast_to(footprint[None], (B, footprint.shape[0], 3))
+            inside, _, _ = project_and_render(cam, pose_sel, pts)
+            vals = jnp.where(inside, trav, jnp.inf)
+            fused = jnp.minimum(masks_sel, vals)
+            sig, sv = jax.vmap(lambda m, s: segment_masked_mean(m, jnp.isfinite(m), s, S))(fused, seg_sel)
+            new = buf._replace(
+                supervision_mask=buf.supervision_mask.at[idx].set(fused, mode="drop"),
+                signal=buf.signal.at[idx].set(sig, mode="drop"),
+                signal_valid=buf.signal_valid.at[idx].set(sv, mode="drop"),
+            )
+            return new, jnp.sum(sv, axis=-1)
+
+        def _loss_on_batch(params, batch, cg_state):
+            if anomaly:
+                # Flow over positively-labeled samples only (reference
+                # as_pyg_data(anomaly_detection=True), nodes.py:208-214).
+                res = model.apply(params, batch.x)
+                return anomaly_loss(loss_cfg, res, batch.y_valid & batch.sample_valid, cg_state)
+            res = model.apply(params, batch.x)
+            return traversability_loss(loss_cfg, batch, res, cg_state)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def _train_step(params, opt_state, cg_state, x, y, yv, sv):
+            batch = TravBatch(
+                x=x.reshape(-1, x.shape[-1]), y=y.reshape(-1), y_valid=yv.reshape(-1), sample_valid=sv.reshape(-1)
+            )
+
+            def lf(p):
+                loss, aux, cg2 = _loss_on_batch(p, batch, cg_state)
+                return loss, (aux, cg2)
+
+            (loss, (aux, cg2)), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            updates, opt2 = tx.update(grads, opt_state)
+            params2 = optax.apply_updates(params, updates)
+            small_aux = {k: v for k, v in aux.items() if k != "confidence"}
+            return params2, opt2, cg2, loss, small_aux
+
+        @jax.jit
+        def _gather_batch(buf: MissionBuffer, idx):
+            x = buf.features[idx]
+            y = buf.signal[idx]
+            yv = buf.signal_valid[idx]
+            sv = buf.feat_valid[idx] & buf.valid[idx][:, None]
+            return x, y, yv, sv
+
+        self._reproject_update = _reproject_update
+        self._train_step_fn = _train_step
+        self._gather_batch = _gather_batch
+
+    # --------------------------------------------------------- properties
+    @property
+    def loss(self) -> float:
+        return self._loss
+
+    @property
+    def step(self) -> int:
+        return self._step
+
+    @property
+    def params(self):
+        return self._params
+
+    @property
+    def confidence_state(self):
+        return self._cg_state
+
+    @property
+    def model(self):
+        return self._model
+
+    @property
+    def buffer(self) -> MissionBuffer:
+        return self._buffer
+
+    @property
+    def pause_learning(self) -> bool:
+        return self._pause_training
+
+    @pause_learning.setter
+    def pause_learning(self, pause: bool):
+        self._pause_training = pause
+
+    @property
+    def pause_mission_graph(self) -> bool:
+        return self._pause_mission_graph
+
+    @pause_mission_graph.setter
+    def pause_mission_graph(self, pause: bool):
+        self._pause_mission_graph = pause
+
+    @property
+    def pause_supervision_graph(self) -> bool:
+        return self._pause_supervision_graph
+
+    @pause_supervision_graph.setter
+    def pause_supervision_graph(self, pause: bool):
+        self._pause_supervision_graph = pause
+
+    def get_mission_nodes(self):
+        return self._mission_graph.get_nodes()
+
+    def get_supervision_nodes(self):
+        return self._supervision_graph.get_nodes()
+
+    def get_last_valid_mission_node(self):
+        for node in reversed(self._mission_graph.get_nodes()):
+            if node.is_valid():
+                return node
+        return None
+
+    def update_visualization_node(self):
+        """reference traversability_estimator.py:154-163."""
+        nodes = self._mission_graph.get_nodes()
+        if not nodes:
+            return
+        if len(nodes) <= self._vis_node_index:
+            self._vis_mission_node = nodes[0]
+        else:
+            self._vis_mission_node = nodes[-self._vis_node_index]
+
+    # ------------------------------------------------------- node intake
+    def add_mission_node(
+        self,
+        node: MissionNode,
+        features: jnp.ndarray,
+        feat_valid: jnp.ndarray,
+        seg: jnp.ndarray,
+        K_scaled: jnp.ndarray,
+        verbose: bool = False,
+    ) -> bool:
+        """Gate by travel distance, then write the training payload into
+        the device ring buffer (reference add_mission_node, :165-196)."""
+        if self._pause_mission_graph:
+            return False
+        success = self._mission_graph.add_node(node)
+        if not (success and node.use_for_training):
+            return False
+
+        slot = self._next_slot % self._buffer.capacity
+        self._next_slot += 1
+        node.buffer_slot = slot
+        evicted = self._slot_to_node.pop(slot, None)
+        if evicted is not None:
+            evicted._has_supervision = False
+            evicted.buffer_slot = -1
+        self._slot_to_node[slot] = node
+        self._buffer = buffer_insert(
+            self._buffer,
+            jnp.asarray(slot),
+            jnp.asarray(features, jnp.float32),
+            jnp.asarray(feat_valid, bool),
+            jnp.asarray(seg),
+            jnp.asarray(K_scaled, jnp.float32),
+            jnp.asarray(node.pose_cam_in_world, jnp.float32),
+        )
+        if verbose:
+            print(f"adding node [{node}], total nodes [{self._mission_graph.get_num_nodes()}]")
+        return True
+
+    def add_supervision_node(self, pnode: SupervisionNode) -> bool:
+        """reference add_supervision_node (:198-300): gate, build the
+        footprint against the previous node, batch-reproject into all
+        in-range mission nodes, fuse, update signals."""
+        if self._pause_supervision_graph or not pnode.is_valid():
+            return False
+
+        last_pnode = self._supervision_graph.get_last_node()
+        success = self._supervision_graph.add_node(pnode)
+        if not success:
+            if last_pnode is not None:
+                last_pnode.update_traversability(pnode.traversability, pnode.traversability_var)
+            return False
+        if last_pnode is None or not last_pnode.is_valid():
+            return False
+
+        footprint = pnode.make_footprint_with_node(last_pnode)
+        # static pad to _MAX_FOOTPRINT_POINTS (duplicates don't change the hull)
+        P = footprint.shape[0]
+        if P > _MAX_FOOTPRINT_POINTS:
+            sel = np.linspace(0, P - 1, _MAX_FOOTPRINT_POINTS).astype(int)
+            footprint = footprint[sel]
+        elif P < _MAX_FOOTPRINT_POINTS:
+            footprint = np.concatenate(
+                [footprint, np.tile(footprint[-1:], (_MAX_FOOTPRINT_POINTS - P, 1))], axis=0
+            )
+
+        last_mission_node = self._mission_graph.get_last_node()
+        if last_mission_node is None:
+            return False
+        mission_nodes = self._mission_graph.get_nodes_within_radius_range(
+            last_mission_node, 0.0, self._supervision_graph.max_distance
+        )
+        mission_nodes = [n for n in mission_nodes if n.buffer_slot >= 0]
+        if not mission_nodes:
+            return False
+        mission_nodes = mission_nodes[-self._B_max :]
+
+        idx = np.full((self._B_max,), self._buffer.capacity, dtype=np.int32)  # OOB = drop
+        for i, n in enumerate(mission_nodes):
+            idx[i] = n.buffer_slot
+
+        self._buffer, valid_counts = self._reproject_update(
+            self._buffer,
+            jnp.asarray(idx),
+            jnp.asarray(footprint, jnp.float32),
+            jnp.asarray(float(pnode.traversability), jnp.float32),
+        )
+        counts = np.asarray(valid_counts)
+        for i, n in enumerate(mission_nodes):
+            n._has_supervision = bool(counts[i] > 0)
+
+        if self._mode == WVNMode.EXTRACT_LABELS and self._extraction_store_folder:
+            self._export_supervision_masks(mission_nodes)
+        return True
+
+    def _export_supervision_masks(self, mission_nodes):
+        os.makedirs(os.path.join(self._extraction_store_folder, "supervision_mask"), exist_ok=True)
+        masks = np.asarray(self._buffer.supervision_mask)
+        for n in mission_nodes:
+            store = np.isfinite(masks[n.buffer_slot])
+            path = os.path.join(
+                self._extraction_store_folder, "supervision_mask", str(n.timestamp).replace(".", "_") + ".npy"
+            )
+            np.save(path, store)
+
+    # ---------------------------------------------------------- training
+    def make_batch(self, batch_size: Optional[int] = None):
+        """Sample random valid nodes and gather their training arrays
+        (reference make_batch, :431-446). Sampling with replacement when
+        fewer valid nodes than batch_size (fixed shapes)."""
+        batch_size = batch_size or self._batch_size
+        valid = [n for n in self._mission_graph.get_valid_nodes() if n.buffer_slot >= 0]
+        if not valid:
+            return None
+        slots = np.array([n.buffer_slot for n in valid], dtype=np.int32)
+        choice = np.random.choice(slots, size=batch_size, replace=len(slots) < batch_size)
+        return self._gather_batch(self._buffer, jnp.asarray(choice))
+
+    def train(self) -> dict:
+        """One optimization step (reference train(), :448-497)."""
+        if self._pause_training:
+            return {}
+        num_valid = self._mission_graph.get_num_valid_nodes()
+        return_dict = {"mission_graph_num_valid_node": num_valid}
+        if num_valid > self._min_samples_for_training:
+            batch = self.make_batch(self._batch_size)
+            if batch is not None:
+                x, y, yv, sv = batch
+                with self._learning_lock:
+                    self._params, self._opt_state, self._cg_state, loss, aux = self._train_step_fn(
+                        self._params, self._opt_state, self._cg_state, x, y, yv, sv
+                    )
+                self._step += 1
+                self._loss = float(loss)
+                return_dict["loss_total"] = self._loss
+                return_dict["loss_trav"] = float(aux["loss_trav"])
+                return_dict["loss_reco"] = float(aux["loss_reco"])
+                return return_dict
+        return_dict["loss_total"] = -1
+        return return_dict
+
+    # ------------------------------------------------------- checkpoints
+    def state_dict_for_hot_swap(self) -> dict:
+        """The params + confidence payload the inference process polls
+        (reference .tmp_state_dict.pt, wvn_learning_node.py:382-394)."""
+        return {
+            "params": self._params,
+            "confidence_generator": confidence_state_dict(self._cg_state),
+            "step": self._step,
+        }
+
+    def save_checkpoint(self, mission_path: str, checkpoint_name: str = "last_checkpoint.ckpt") -> str:
+        """Full mission checkpoint (reference :377-404): model,
+        optimizer, confidence state, step, loss."""
+        os.makedirs(mission_path, exist_ok=True)
+        path = os.path.join(mission_path, checkpoint_name)
+        payload = {
+            "params": serialization.to_bytes(self._params),
+            "opt_state": serialization.to_bytes(self._opt_state),
+            "cg_state": serialization.to_bytes(self._cg_state),
+            "step": self._step,
+            "loss": self._loss,
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        return path
+
+    def load_checkpoint(self, checkpoint_path: str):
+        """reference :406-429."""
+        with open(checkpoint_path, "rb") as f:
+            payload = pickle.load(f)
+        self._params = serialization.from_bytes(self._params, payload["params"])
+        self._opt_state = serialization.from_bytes(self._opt_state, payload["opt_state"])
+        self._cg_state = serialization.from_bytes(self._cg_state, payload["cg_state"])
+        self._step = payload["step"]
+        self._loss = payload["loss"]
+        self._pause_training = False
+        print(f"Loaded checkpoint from file {checkpoint_path}")
+
+    def load_confidence_state_dict(self, d: dict):
+        self._cg_state = confidence_load_state_dict(self._cg_state, d)
+
+    def save_graph(self, mission_path: str):
+        """Mission-graph dataset export for offline training (reference
+        :347-375): per-node features / signals / masks as npz."""
+        os.makedirs(mission_path, exist_ok=True)
+        buf = self._buffer
+        feats, sig, sv = np.asarray(buf.features), np.asarray(buf.signal), np.asarray(buf.signal_valid)
+        seg = np.asarray(buf.seg)
+        for node in self._mission_graph.get_valid_nodes():
+            s = node.buffer_slot
+            if s < 0:
+                continue
+            p = os.path.join(mission_path, f"graph_{str(node.timestamp).replace('.', '_')}.npz")
+            np.savez_compressed(
+                p, features=feats[s], signal=sig[s], signal_valid=sv[s], segments=seg[s]
+            )
+
+    def reset(self):
+        self._mission_graph.clear()
+        self._supervision_graph.clear()
+        self._buffer = buffer_init(self._buffer.capacity, self._S, self._D, self._H, self._W)
+        self._slot_to_node = {}
+        self._next_slot = 0
+        self._cg_state = confidence_init()
+        self._step = 0

@@ -1,0 +1,86 @@
+"""Device-resident ring buffer of mission-node training state.
+
+The array-resident replacement for the reference's networkx graph of
+CUDA tensors (SURVEY.md §7): per-node features, segments, fused
+supervision masks and per-segment signals live as fixed-shape stacked
+device arrays, so the supervision-reprojection update and the training
+batch gather are single jitted programs with zero host marshaling.
+
+Sentinel convention: an unset supervision-mask pixel is +inf (the
+reference uses NaN + fmin, image_projector.py:195; min/isfinite is the
+XLA-friendly equivalent).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+UNSET = jnp.inf
+
+
+class MissionBuffer(NamedTuple):
+    """All arrays share the leading capacity axis N."""
+
+    features: jnp.ndarray  # (N, S, D)
+    feat_valid: jnp.ndarray  # (N, S) bool — segment slot exists in the image
+    seg: jnp.ndarray  # (N, H, W) int32
+    supervision_mask: jnp.ndarray  # (N, H, W) f32, +inf = unset
+    signal: jnp.ndarray  # (N, S)
+    signal_valid: jnp.ndarray  # (N, S) bool
+    K: jnp.ndarray  # (N, 3, 3) scaled intrinsics
+    pose_cam_in_world: jnp.ndarray  # (N, 4, 4)
+    valid: jnp.ndarray  # (N,) bool — slot occupied
+
+    @property
+    def capacity(self) -> int:
+        return self.features.shape[0]
+
+    @property
+    def num_segments(self) -> int:
+        return self.features.shape[1]
+
+
+def buffer_init(capacity: int, num_segments: int, feature_dim: int, height: int, width: int) -> MissionBuffer:
+    return MissionBuffer(
+        features=jnp.zeros((capacity, num_segments, feature_dim), jnp.float32),
+        feat_valid=jnp.zeros((capacity, num_segments), bool),
+        seg=jnp.zeros((capacity, height, width), jnp.int32),
+        supervision_mask=jnp.full((capacity, height, width), UNSET, jnp.float32),
+        signal=jnp.zeros((capacity, num_segments), jnp.float32),
+        signal_valid=jnp.zeros((capacity, num_segments), bool),
+        K=jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (capacity, 1, 1)),
+        pose_cam_in_world=jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (capacity, 1, 1)),
+        valid=jnp.zeros((capacity,), bool),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def buffer_insert(
+    buf: MissionBuffer,
+    slot: jnp.ndarray,
+    features: jnp.ndarray,
+    feat_valid: jnp.ndarray,
+    seg: jnp.ndarray,
+    K: jnp.ndarray,
+    pose_cam_in_world: jnp.ndarray,
+) -> MissionBuffer:
+    """Write a new mission node into `slot` (donated/functional update).
+
+    The supervision mask starts fully unset (the reference initializes
+    a NaN mask on add_mission_node, traversability_estimator.py:186-193).
+    """
+    return buf._replace(
+        features=buf.features.at[slot].set(features),
+        feat_valid=buf.feat_valid.at[slot].set(feat_valid),
+        seg=buf.seg.at[slot].set(seg.astype(jnp.int32)),
+        supervision_mask=buf.supervision_mask.at[slot].set(UNSET),
+        signal=buf.signal.at[slot].set(0.0),
+        signal_valid=buf.signal_valid.at[slot].set(False),
+        K=buf.K.at[slot].set(K.astype(jnp.float32)),
+        pose_cam_in_world=buf.pose_cam_in_world.at[slot].set(pose_cam_in_world.astype(jnp.float32)),
+        valid=buf.valid.at[slot].set(True),
+    )
