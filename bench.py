@@ -1,0 +1,83 @@
+"""Benchmark: flagship inference throughput on one chip.
+
+Measures the BASELINE north-star metric (BASELINE.md): images/sec for
+the full per-frame pipeline — ImageNet normalize -> DINOv2 ViT-S/14
+backbone (Pallas flash attention, bf16) -> dense per-pixel SimpleMLP
+traversability + reconstruction scoring — at 448 px, batch 8, on the
+real TPU. The reference design point is 10 images/sec/camera on an
+RTX-class GPU (default.yaml:39); `vs_baseline` is the ratio against
+that 10 img/s.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+BASELINE_IMAGES_PER_SEC = 10.0  # reference rate gate per camera
+BATCH = 8
+SIZE = 448
+ITERS = 30
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from wild_visual_navigation_tpu.models import get_model
+    from wild_visual_navigation_tpu.models.vit import dense_features, make_vit
+    from wild_visual_navigation_tpu.ops.resize import imagenet_normalize
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    vit = make_vit("dinov2", "vit_small", 14, attention_impl="flash" if on_tpu else "xla")
+    key = jax.random.PRNGKey(0)
+    vit_params = vit.init(key, jnp.zeros((1, 3, SIZE, SIZE)))
+    D = vit.cfg.embed_dim
+    mlp = get_model({
+        "name": "SimpleMLP",
+        "simple_mlp_cfg": {"input_size": D, "hidden_sizes": [256, 32, 1], "reconstruction": True},
+    })
+    mlp_params = mlp.init(jax.random.PRNGKey(1), jnp.zeros((1, D)))
+
+    @jax.jit
+    def pipeline(vp, mp, imgs):
+        x = imagenet_normalize(imgs)
+        feat = dense_features(vit, vp, x)  # (B, D, Hp, Wp)
+        B, Dd, Hp, Wp = feat.shape
+        flat = feat.transpose(0, 2, 3, 1).reshape(-1, Dd)
+        out = mlp.apply(mp, flat)
+        trav = out[:, 0].reshape(B, Hp, Wp)
+        return trav
+
+    imgs = jax.random.uniform(jax.random.fold_in(key, 2), (BATCH, 3, SIZE, SIZE), dtype=jnp.float32)
+
+    # Warmup / compile
+    pipeline(vit_params, mlp_params, imgs).block_until_ready()
+
+    # Pipelined dispatch (no per-step blocking), block at the end.
+    t0 = time.time()
+    out = None
+    for _ in range(ITERS):
+        out = pipeline(vit_params, mlp_params, imgs)
+    out.block_until_ready()
+    dt = time.time() - t0
+
+    images_per_sec = ITERS * BATCH / dt
+    result = {
+        "metric": "dinov2_vits14_448px_dense_traversability_throughput",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

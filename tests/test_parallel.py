@@ -1,0 +1,113 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh: dp+tp
+train step correctness vs single-device, and the driver entry points."""
+
+import dataclasses
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from wild_visual_navigation_tpu.models import get_model
+from wild_visual_navigation_tpu.parallel import (
+    create_mesh,
+    make_multichip_train_step,
+    mlp_param_spec,
+    shard_pytree,
+    vit_param_spec,
+)
+from wild_visual_navigation_tpu.utils import (
+    TravBatch,
+    TraversabilityLossConfig,
+    confidence_init,
+    traversability_loss,
+)
+
+
+def test_create_mesh_shapes():
+    mesh = create_mesh(8, dp=4, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    mesh = create_mesh(8)
+    assert mesh.shape == {"dp": 8, "tp": 1}
+
+
+def test_mlp_param_spec_alternates():
+    mlp = get_model({
+        "name": "SimpleMLP",
+        "simple_mlp_cfg": {"input_size": 16, "hidden_sizes": [32, 1], "reconstruction": True},
+    })
+    params = mlp.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)))
+    specs = mlp_param_spec(params, tp=2)
+    flat = {"/".join(str(getattr(k, "key", k)) for k in path): s
+            for path, s in jax.tree_util.tree_flatten_with_path(specs)[0]}
+    assert flat["params/Dense_0/kernel"] == P(None, "tp")
+    assert flat["params/Dense_0/bias"] == P("tp")
+    assert flat["params/Dense_1/kernel"] == P("tp", None)
+    # output dim 17 not divisible -> bias replicated
+    assert flat["params/Dense_1/bias"] == P()
+
+
+def test_multichip_matches_single_device():
+    """dp-sharded train step must produce the same numbers as the
+    unsharded one (sharding is an implementation detail)."""
+    mesh = create_mesh(8, dp=4, tp=2)
+    D, B, S = 16, 8, 4
+    mlp = get_model({
+        "name": "SimpleMLP",
+        "simple_mlp_cfg": {"input_size": D, "hidden_sizes": [32, 1], "reconstruction": True},
+    })
+    params = mlp.init(jax.random.PRNGKey(0), jnp.zeros((1, D)))
+    tx = optax.adam(1e-3)
+    loss_cfg = TraversabilityLossConfig()
+
+    def loss_fn(p, batch, cg):
+        x, y, yv = batch
+        flat = x.reshape(-1, D)
+        res = mlp.apply(p, flat)
+        tb = TravBatch(x=flat, y=y.reshape(-1), y_valid=yv.reshape(-1),
+                       sample_valid=jnp.ones((flat.shape[0],), bool))
+        loss, aux, cg2 = traversability_loss(loss_cfg, tb, res, cg)
+        return loss, (aux, cg2)
+
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(jax.random.fold_in(key, 0), (B, S, D))
+    y = jax.random.uniform(jax.random.fold_in(key, 1), (B, S))
+    yv = jax.random.uniform(jax.random.fold_in(key, 2), (B, S)) < 0.5
+    cg = confidence_init()
+
+    # single-device reference
+    opt0 = tx.init(params)
+    (loss_ref, (_, _)), grads_ref = jax.value_and_grad(loss_fn, has_aux=True)(params, (x, y, yv), cg)
+
+    # sharded
+    sharded_params = shard_pytree(params, mlp_param_spec(params, tp=2), mesh)
+    train_step, place_batch, _ = make_multichip_train_step(mesh, mlp, tx, loss_fn)
+    opt1 = tx.init(sharded_params)
+    p2, o2, cg2, loss_sh, aux = train_step(sharded_params, opt1, cg, place_batch((x, y, yv)))
+
+    np.testing.assert_allclose(float(loss_ref), float(loss_sh), rtol=1e-5)
+    # one step of adam from the same grads must match
+    updates, _ = tx.update(grads_ref, opt0)
+    p_ref = optax.apply_updates(params, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_graft_entry_forward():
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (1, 224, 224)
+    assert bool(jnp.all(jnp.isfinite(out)))

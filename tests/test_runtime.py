@@ -1,0 +1,133 @@
+"""Runtime tests: scheduler order (reference run_scheduler assertions,
+scheduler.py:68-102), config overlays, and the full online replay loop
+at tiny sizes on CPU."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from wild_visual_navigation_tpu.cfg import (
+    ExperimentParams,
+    FeatureExtractorNodeParams,
+    LearningNodeParams,
+)
+from wild_visual_navigation_tpu.runtime import Scheduler, WVNRuntime, run_replay, synthetic_sequence
+from wild_visual_navigation_tpu.utils.loading import apply_overrides
+
+
+def test_scheduler_uniform():
+    s = Scheduler()
+    s.add_process("p1", 1)
+    s.add_process("p2", 1)
+    s.add_process("p3", 1)
+    order = []
+    for _ in range(4):
+        order.append(s.get())
+        s.step()
+    assert order == ["p1", "p2", "p3", "p1"]
+
+
+def test_scheduler_weighted():
+    s = Scheduler()
+    s.add_process("p1", 2)
+    s.add_process("p2", 1)
+    s.add_process("p3", 2)
+    s.add_process("p4", 1)
+    order = []
+    for _ in range(6):
+        order.append(s.get())
+        s.step()
+    assert order == ["p1", "p2", "p3", "p4", "p1", "p3"]
+
+
+def test_config_overrides():
+    exp = ExperimentParams()
+    exp2 = apply_overrides(exp, {"loss.w_trav": 0.1, "model.name": "DoubleMLP", "optimizer.lr": 0.01})
+    assert exp2.loss.w_trav == 0.1
+    assert exp2.model.name == "DoubleMLP"
+    assert exp2.optimizer.lr == 0.01
+    assert exp.loss.w_trav == 0.03  # original untouched
+    with pytest.raises(KeyError):
+        apply_overrides(exp, {"loss.not_a_field": 1})
+
+
+def _tiny_runtime(**kw):
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=48,
+        network_input_image_width=48,
+        segmentation_type="grid",
+        feature_type="sift",
+        slic_num_components=16,
+        prediction_per_pixel=False,
+        image_callback_rate=100.0,
+    )
+    # cell_size default 32 -> grid 2x2 at 48px
+    ln = LearningNodeParams(
+        network_input_image_height=48,
+        network_input_image_width=48,
+        image_graph_dist_thr=0.05,
+        supervision_graph_dist_thr=0.02,
+        min_samples_for_training=3,
+        supervision_callback_rate=100.0,
+        robot_width=0.5,
+        robot_length=0.5,
+    )
+    exp = ExperimentParams()
+    exp.model.simple_mlp_cfg.hidden_sizes = [32, 1]
+    return WVNRuntime(fe_params=fe, ln_params=ln, exp_params=exp, key=jax.random.PRNGKey(0),
+                      buffer_capacity=32, reprojection_fanout=8, **kw)
+
+
+def test_runtime_replay_end_to_end():
+    rt = _tiny_runtime()
+    seq = synthetic_sequence(duration=4.0, frame_rate=5.0, state_rate=5.0, image_size=48, seed=0)
+    report = run_replay(rt, seq)
+    assert report.frames_processed >= 15
+    assert report.supervision_updates >= 5
+    assert report.valid_nodes >= 4
+    assert report.train_steps >= 5
+    assert np.isfinite(report.final_loss)
+    res = report.last_result
+    assert res is not None
+    assert res.traversability.shape == (48, 48)
+    assert res.confidence.shape == (48, 48)
+    assert np.all(res.traversability >= 0) and np.all(res.traversability <= 1)
+
+
+def test_runtime_hot_swap_updates_inference():
+    rt = _tiny_runtime()
+    seq = synthetic_sequence(duration=3.0, frame_rate=5.0, state_rate=5.0, image_size=48, seed=1)
+    run_replay(rt, seq)
+    p_before = rt._inference_params
+    # more training then explicit swap
+    for _ in range(3):
+        rt.learning_step()
+    rt.hot_swap()
+    leaves0 = jax.tree_util.tree_leaves(p_before)
+    leaves1 = jax.tree_util.tree_leaves(rt._inference_params)
+    diff = max(float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(leaves0, leaves1))
+    assert diff > 0  # params actually advanced
+
+
+def test_runtime_rate_gate_and_scheduler():
+    rt = _tiny_runtime()
+    rt.fe_params.image_callback_rate = 1.0  # gate to 1 Hz
+    seq = synthetic_sequence(duration=3.0, frame_rate=10.0, state_rate=0.0, image_size=48, seed=2)
+    report = run_replay(rt, seq)
+    assert report.frames_processed <= 4
+    assert report.frames_gated >= 20
+
+
+def test_runtime_checkpoint_services(tmp_path):
+    rt = _tiny_runtime()
+    seq = synthetic_sequence(duration=3.0, frame_rate=5.0, state_rate=5.0, image_size=48, seed=3)
+    run_replay(rt, seq)
+    path = rt.save_checkpoint(str(tmp_path))
+    step0 = rt.estimator.step
+    rt2 = _tiny_runtime()
+    rt2.load_checkpoint(path)
+    assert rt2.estimator.step == step0
+    rt2.pause_learning(True)
+    assert rt2.learning_step().loss_total == -1.0 or rt2.estimator.pause_learning

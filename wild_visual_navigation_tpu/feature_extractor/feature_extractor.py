@@ -84,7 +84,12 @@ class FeatureExtractor:
             )
             self._feature_dim = self._extractor.feature_dim
         elif feature_type == "sift":
-            self._feature_dim = 128
+            # 128 per channel x 3 RGB channels (the reference's
+            # compute_sift concatenates per-channel descriptors,
+            # feature_extractor.py:277-286, while claiming 128 at :66 —
+            # its runtime patches input_size from live data; we report
+            # the true dimensionality).
+            self._feature_dim = 384
             self._extractor = None
         elif feature_type == "histogram":
             # Reference stub (feature_extractor.py:273-274).

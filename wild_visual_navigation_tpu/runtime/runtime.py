@@ -1,0 +1,369 @@
+"""WVNRuntime — the single-process online system.
+
+Re-design of the reference's two ROS processes
+(wvn_feature_extractor_node.py + wvn_learning_node.py, see SURVEY.md
+§2.4) as ONE process holding two jitted device programs:
+
+  * the inference path: camera frame -> resize -> feature extraction
+    (ViT/SLIC on device) -> traversability MLP -> trav/confidence maps;
+  * the learning path: supervision reprojection + train step inside the
+    TraversabilityEstimator.
+
+The reference's weight hot-swap (atomic `.tmp_state_dict.pt` file
+polled at 1 Hz, wvn_learning_node.py:382-394 /
+wvn_feature_extractor_node.py:407-450) becomes a params *mailbox*: the
+learning side publishes its latest params pytree reference at the
+checkpoint rate; the inference side reads it — a device-to-device
+pointer swap, zero copies, no filesystem. The file-based flow is still
+available via TraversabilityEstimator.save_checkpoint /
+state_dict_for_hot_swap for process-separated deployments.
+
+Host threads (camera callbacks, learning loop) mirror the reference's
+thread structure; all compute is XLA.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cfg import ExperimentParams, FeatureExtractorNodeParams, LearningNodeParams
+from ..feature_extractor import FeatureExtractor
+from ..ops.projection import scale_intrinsics
+from ..ops.resize import resize_image
+from ..supervision import SupervisionGenerator
+from ..traversability import MissionNode, SupervisionNode, TraversabilityEstimator
+from ..utils.confidence_generator import confidence_inference
+from ..utils.operation_modes import WVNMode
+from .scheduler import Scheduler
+
+
+@dataclass
+class InferenceResult:
+    traversability: np.ndarray  # (H, W) in [0, 1]
+    confidence: Optional[np.ndarray]  # (H, W) in [0, 1]
+    camera: str
+    stamp: float
+
+
+@dataclass
+class SystemState:
+    """The reference's SystemState message payload
+    (wild_visual_navigation_msgs/msg/SystemState.msg)."""
+
+    mode: int = 1
+    mission_graph_num_valid_node: int = 0
+    step: int = 0
+    loss_total: float = -1.0
+    loss_trav: float = -1.0
+    loss_reco: float = -1.0
+    pause_learning: bool = False
+
+
+class WVNRuntime:
+    def __init__(
+        self,
+        fe_params: Optional[FeatureExtractorNodeParams] = None,
+        ln_params: Optional[LearningNodeParams] = None,
+        exp_params: Optional[ExperimentParams] = None,
+        key: Optional[jax.Array] = None,
+        anomaly_detection: bool = False,
+        buffer_capacity: int = 256,
+        reprojection_fanout: int = 32,
+        backbone_params=None,
+    ):
+        self.fe_params = fe_params or FeatureExtractorNodeParams()
+        self.ln_params = ln_params or LearningNodeParams()
+        self.exp_params = exp_params or ExperimentParams()
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        fp = self.fe_params
+        self._H = fp.network_input_image_height
+        self._W = fp.network_input_image_width
+
+        # --- feature extraction (process-1 equivalent)
+        self.feature_extractor = FeatureExtractor(
+            key=key,
+            segmentation_type=fp.segmentation_type,
+            feature_type=fp.feature_type,
+            input_size=self._H,
+            patch_size=fp.dino_patch_size,
+            backbone_type=fp.dino_backbone,
+            slic_num_components=fp.slic_num_components,
+            backbone_params=backbone_params,
+        )
+        self._S = self.feature_extractor.num_segments(self._H, self._W)
+        self._D = self.feature_extractor.feature_dim
+        # Reference patches model input_size from the extractor at
+        # runtime (wvn_learning_node.py:309-315).
+        model_cfg = self.exp_params.model.to_dict()
+        snake = {"SimpleMLP": "simple_mlp_cfg", "DoubleMLP": "double_mlp_cfg",
+                 "SimpleGCN": "simple_gcn_cfg", "LinearRnvp": "linear_rnvp_cfg"}[self.exp_params.model.name]
+        model_cfg[snake]["input_size"] = self._D
+
+        # --- learning engine (process-2 equivalent)
+        self.estimator = TraversabilityEstimator(
+            model_cfg=model_cfg,
+            loss_cfg=self.exp_params.loss_cfg(),
+            anomaly_loss_cfg=self.exp_params.anomaly_loss_cfg(),
+            lr=self.exp_params.optimizer.lr,
+            max_distance=self.ln_params.traversability_radius,
+            image_distance_thr=self.ln_params.image_graph_dist_thr,
+            supervision_distance_thr=self.ln_params.supervision_graph_dist_thr,
+            min_samples_for_training=self.ln_params.min_samples_for_training,
+            batch_size=self.exp_params.ablation_data_module.batch_size,
+            mode=self.ln_params.mode,
+            extraction_store_folder=self.ln_params.extraction_store_folder,
+            anomaly_detection=anomaly_detection,
+            buffer_capacity=buffer_capacity,
+            num_segments=self._S,
+            feature_dim=self._D,
+            image_height=self._H,
+            image_width=self._W,
+            reprojection_fanout=reprojection_fanout,
+            vis_node_index=self.ln_params.vis_node_index,
+        )
+        self.supervision_generator = SupervisionGenerator(
+            untraversable_thr=self.ln_params.untraversable_thr,
+        )
+
+        # --- camera arbitration (reference scheduler + rate gates)
+        self.scheduler = Scheduler()
+        for cam, cfg in self.fe_params.camera_topics.items():
+            self.scheduler.add_process(cam, int(cfg.get("scheduler_weight", 1)))
+        self._last_image_ts: Dict[str, float] = {}
+        self._last_supervision_ts: Optional[float] = None
+
+        # --- params mailbox (hot-swap equivalent)
+        self._mailbox_lock = threading.Lock()
+        self._inference_params = self.estimator.params
+        self._inference_cg = self.estimator.confidence_state
+        self._last_swap_step = -1
+
+        self.system_state = SystemState()
+        self.anomaly_detection = anomaly_detection
+        self._stop_event = threading.Event()
+        self._learning_thread: Optional[threading.Thread] = None
+
+        self._build_jitted()
+
+    # ------------------------------------------------------------ jitted
+    def _build_jitted(self):
+        model = self.estimator.model
+        cg_cfg = self.estimator._cg_cfg
+        anomaly = self.anomaly_detection
+        S = self._S
+
+        @jax.jit
+        def _predict_dense(params, cg_state, dense_feat):
+            """(D, H, W) -> per-pixel traversability + confidence."""
+            D, H, W = dense_feat.shape
+            x = dense_feat.reshape(D, -1).T
+            out = model.apply(params, x)
+            if anomaly:
+                losses = jnp.sum(out["logprob"], axis=-1) + out["log_det"]
+                trav = confidence_inference(cg_cfg, cg_state, -losses)
+                conf = None
+            else:
+                trav = out[:, 0]
+                loss_reco = jnp.mean((out[:, 1:] - x) ** 2, axis=-1)
+                conf = confidence_inference(cg_cfg, cg_state, loss_reco).reshape(H, W)
+            return trav.reshape(H, W), conf
+
+        @jax.jit
+        def _predict_segments(params, cg_state, feat, seg):
+            """(S, D) pooled features + (H, W) seg -> per-pixel maps via
+            segment gather (the reference's per-segment scoring path,
+            wvn_feature_extractor_node.py:320-338)."""
+            out = model.apply(params, feat)
+            if anomaly:
+                losses = jnp.sum(out["logprob"], axis=-1) + out["log_det"]
+                trav_seg = confidence_inference(cg_cfg, cg_state, -losses)
+                conf_seg = jnp.ones((S,))
+            else:
+                trav_seg = out[:, 0]
+                loss_reco = jnp.mean((out[:, 1:] - feat) ** 2, axis=-1)
+                conf_seg = confidence_inference(cg_cfg, cg_state, loss_reco)
+            sid = seg.clip(0, S - 1)
+            return trav_seg[sid], conf_seg[sid]
+
+        self._predict_dense = _predict_dense
+        self._predict_segments = _predict_segments
+
+    # -------------------------------------------------------- inference
+    def image_callback(
+        self,
+        img: np.ndarray,
+        stamp: float,
+        camera: str,
+        K: np.ndarray,
+        orig_h: int,
+        orig_w: int,
+        pose_base_in_world: np.ndarray,
+        pose_cam_in_base: np.ndarray,
+        prediction_per_pixel: Optional[bool] = None,
+    ) -> Optional[InferenceResult]:
+        """Per-frame path (reference wvn_feature_extractor_node.py:273-405
+        + the learning node's imagefeat_callback :550-688 — one process,
+        so features go straight into the mission buffer, no
+        serialization).
+
+        img: (3, H0, W0) RGB [0,1] numpy/jax array.
+        Returns None when rate-gated or scheduled out.
+        """
+        # rate gate (reference :283-285)
+        last = self._last_image_ts.get(camera)
+        if last is not None and (stamp - last) < 1.0 / self.fe_params.image_callback_rate:
+            return None
+        # scheduler arbitration (reference :287-294)
+        if self.scheduler.get() != camera:
+            self.scheduler.step()
+            return None
+        self.scheduler.step()
+        self._last_image_ts[camera] = stamp
+
+        if prediction_per_pixel is None:
+            prediction_per_pixel = self.fe_params.prediction_per_pixel
+
+        img = jnp.asarray(img)[None]  # (1, 3, H0, W0)
+        img_r = resize_image(img, self._H, self._W if self._W != self._H else None)
+        ex = self.feature_extractor.extract(img_r, return_dense_features=prediction_per_pixel)
+
+        with self._mailbox_lock:
+            params, cg = self._inference_params, self._inference_cg
+
+        if prediction_per_pixel and ex.dense_features is not None:
+            trav, conf = self._predict_dense(params, cg, ex.dense_features)
+        else:
+            trav, conf = self._predict_segments(params, cg, ex.features, ex.segments)
+
+        # Mission-node ingestion (imagefeat_callback equivalent)
+        use_for_training = bool(
+            self.fe_params.camera_topics.get(camera, {}).get("use_for_training", True)
+        )
+        K_scaled = scale_intrinsics(jnp.asarray(K)[None], orig_h, orig_w, new_h=self._H,
+                                    new_w=None if self._W == self._H else self._W)[0]
+        node = MissionNode(
+            timestamp=stamp,
+            pose_base_in_world=np.asarray(pose_base_in_world, dtype=np.float64),
+            pose_cam_in_base=np.asarray(pose_cam_in_base, dtype=np.float64),
+            camera_name=camera,
+            use_for_training=use_for_training,
+        )
+        feat_valid = ex.center_valid if ex.center_valid.shape[0] == self._S else jnp.ones((self._S,), bool)
+        if ex.features is not None and ex.features.shape[0] == self._S:
+            self.estimator.add_mission_node(node, ex.features, feat_valid, ex.segments, K_scaled)
+
+        return InferenceResult(
+            traversability=np.asarray(trav),
+            confidence=None if conf is None else np.asarray(conf),
+            camera=camera,
+            stamp=stamp,
+        )
+
+    # ------------------------------------------------------- supervision
+    def robot_state_callback(
+        self,
+        stamp: float,
+        pose_base_in_world: np.ndarray,
+        current_twist: np.ndarray,
+        desired_twist: np.ndarray,
+        pose_footprint_in_base: Optional[np.ndarray] = None,
+    ) -> bool:
+        """Proprioception path (reference wvn_learning_node.py:435-548)."""
+        if (
+            self._last_supervision_ts is not None
+            and (stamp - self._last_supervision_ts) < 1.0 / self.ln_params.supervision_callback_rate
+        ):
+            return False
+        self._last_supervision_ts = stamp
+
+        trav, var, untrav = self.supervision_generator.update_velocity_tracking(
+            np.asarray(current_twist), np.asarray(desired_twist), max_velocity=0.8, velocities=["vx", "vy"]
+        )
+        node = SupervisionNode(
+            timestamp=stamp,
+            pose_base_in_world=np.asarray(pose_base_in_world, dtype=np.float64),
+            pose_footprint_in_base=(
+                np.eye(4) if pose_footprint_in_base is None else np.asarray(pose_footprint_in_base, dtype=np.float64)
+            ),
+            twist_in_base=np.asarray(current_twist, dtype=np.float64),
+            desired_twist_in_base=np.asarray(desired_twist, dtype=np.float64),
+            length=self.ln_params.robot_length,
+            width=self.ln_params.robot_width,
+            height=self.ln_params.robot_height,
+            traversability=trav,
+            traversability_var=var,
+            is_untraversable=untrav,
+        )
+        return self.estimator.add_supervision_node(node)
+
+    # ---------------------------------------------------------- learning
+    def learning_step(self) -> SystemState:
+        """One tick of the learning loop (reference
+        learning_thread_loop, wvn_learning_node.py:344-408): train step,
+        SystemState update, params hot-swap at checkpoint rate."""
+        res = self.estimator.train()
+        st = self.system_state
+        st.mission_graph_num_valid_node = res.get("mission_graph_num_valid_node", 0)
+        st.step = self.estimator.step
+        st.loss_total = res.get("loss_total", -1.0)
+        st.loss_trav = res.get("loss_trav", -1.0)
+        st.loss_reco = res.get("loss_reco", -1.0)
+        st.pause_learning = self.estimator.pause_learning
+
+        swap_every = max(1, int(self.ln_params.learning_thread_rate / self.ln_params.load_save_checkpoint_rate))
+        if self.estimator.step != self._last_swap_step and self.estimator.step % swap_every == 0:
+            self.hot_swap()
+            self._last_swap_step = self.estimator.step
+        return st
+
+    def hot_swap(self):
+        """Publish the learner's params to the inference mailbox —
+        the reference's checkpoint-file handoff, without the file."""
+        with self._mailbox_lock:
+            self._inference_params = self.estimator.params
+            self._inference_cg = self.estimator.confidence_state
+
+    def start_learning_thread(self):
+        def loop():
+            period = 1.0 / self.ln_params.learning_thread_rate
+            while not self._stop_event.is_set():
+                t0 = time.time()
+                self.learning_step()
+                dt = time.time() - t0
+                if dt < period:
+                    time.sleep(period - dt)
+
+        self._stop_event.clear()
+        self._learning_thread = threading.Thread(target=loop, daemon=True)
+        self._learning_thread.start()
+
+    def stop_learning_thread(self):
+        self._stop_event.set()
+        if self._learning_thread is not None:
+            self._learning_thread.join(timeout=5.0)
+            self._learning_thread = None
+
+    # ---------------------------------------------------------- services
+    def save_checkpoint(self, path: str, name: str = "last_checkpoint.ckpt") -> str:
+        return self.estimator.save_checkpoint(path, name)
+
+    def load_checkpoint(self, path: str):
+        self.estimator.load_checkpoint(path)
+        self.hot_swap()
+
+    def pause_learning(self, pause: bool):
+        self.estimator.pause_learning = pause
+
+    def reset(self):
+        self.estimator.reset()
+        self.hot_swap()

