@@ -1,0 +1,188 @@
+"""Tests for the weight converter (synthetic torch-shaped state dicts),
+timers, device monitor, misc utils, and the torchvision/resnet path."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo/tools")
+
+from wild_visual_navigation_tpu.feature_extractor import FeatureExtractor
+from wild_visual_navigation_tpu.models.resnet import make_resnet
+from wild_visual_navigation_tpu.ops.segment_ops import segment_grid, segment_pyramid_pool
+from wild_visual_navigation_tpu.utils.device_monitor import DeviceMonitor, SystemLevelDeviceMonitor, accumulate_memory
+from wild_visual_navigation_tpu.utils.misc import create_experiment_folder, flatten_dict, get_confidence
+from wild_visual_navigation_tpu.utils.timers import ClassContextTimer, ClassTimer, Timer, accumulate_time
+
+
+def _synthetic_dino_sd(D=384, depth=12, patch=8, grid=28, heads=6, layerscale=False, registers=0):
+    rng = np.random.RandomState(0)
+    sd = {
+        "cls_token": rng.randn(1, 1, D).astype(np.float32),
+        "pos_embed": rng.randn(1, 1 + grid * grid, D).astype(np.float32),
+        "patch_embed.proj.weight": rng.randn(D, 3, patch, patch).astype(np.float32),
+        "patch_embed.proj.bias": rng.randn(D).astype(np.float32),
+        "norm.weight": rng.randn(D).astype(np.float32),
+        "norm.bias": rng.randn(D).astype(np.float32),
+    }
+    if registers:
+        sd["register_tokens"] = rng.randn(1, registers, D).astype(np.float32)
+    for i in range(depth):
+        b = f"blocks.{i}"
+        sd[f"{b}.norm1.weight"] = rng.randn(D).astype(np.float32)
+        sd[f"{b}.norm1.bias"] = rng.randn(D).astype(np.float32)
+        sd[f"{b}.attn.qkv.weight"] = rng.randn(3 * D, D).astype(np.float32)
+        sd[f"{b}.attn.qkv.bias"] = rng.randn(3 * D).astype(np.float32)
+        sd[f"{b}.attn.proj.weight"] = rng.randn(D, D).astype(np.float32)
+        sd[f"{b}.attn.proj.bias"] = rng.randn(D).astype(np.float32)
+        sd[f"{b}.norm2.weight"] = rng.randn(D).astype(np.float32)
+        sd[f"{b}.norm2.bias"] = rng.randn(D).astype(np.float32)
+        sd[f"{b}.mlp.fc1.weight"] = rng.randn(4 * D, D).astype(np.float32)
+        sd[f"{b}.mlp.fc1.bias"] = rng.randn(4 * D).astype(np.float32)
+        sd[f"{b}.mlp.fc2.weight"] = rng.randn(D, 4 * D).astype(np.float32)
+        sd[f"{b}.mlp.fc2.bias"] = rng.randn(D).astype(np.float32)
+        if layerscale:
+            sd[f"{b}.ls1.gamma"] = rng.randn(D).astype(np.float32)
+            sd[f"{b}.ls2.gamma"] = rng.randn(D).astype(np.float32)
+    return sd
+
+
+def test_convert_dino_structure():
+    from convert_dino_weights import convert_dino_state_dict, verify_against_model
+
+    sd = _synthetic_dino_sd()
+    params = convert_dino_state_dict(sd)
+    assert verify_against_model(params, "dino", "vit_small", 8, input_size=64)
+    # and it actually runs
+    from wild_visual_navigation_tpu.models.vit import make_vit
+
+    vit = make_vit("dino", "vit_small", 8, attention_impl="xla")
+    out = vit.apply(jax.tree_util.tree_map(jnp.asarray, params), jnp.zeros((1, 3, 32, 32)))
+    assert out["patch_tokens"].shape == (1, 16, 384)
+
+
+def test_convert_dinov2_with_layerscale_and_registers():
+    from convert_dino_weights import convert_dino_state_dict, verify_against_model
+
+    sd = _synthetic_dino_sd(D=384, depth=12, patch=14, grid=37, layerscale=True, registers=0)
+    params = convert_dino_state_dict(sd)
+    assert verify_against_model(params, "dinov2", "vit_small", 14, input_size=56)
+
+
+def test_convert_linear_transpose_semantics():
+    """flax Dense(x) = x @ kernel + b must equal torch Linear: x @ W.T + b."""
+    from convert_dino_weights import convert_dino_state_dict
+
+    sd = _synthetic_dino_sd(D=8, depth=1, patch=8, grid=4, heads=2)
+    params = convert_dino_state_dict(sd)
+    W = sd["blocks.0.attn.qkv.weight"]
+    kernel = params["params"]["block_0"]["attn"]["qkv"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(kernel), W.T)
+
+
+def test_resnet_pyramid_and_pooling():
+    model = make_resnet("resnet18")
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 64, 64))
+    params = model.init(jax.random.PRNGKey(1), img)
+    pyr = model.apply(params, img)
+    assert pyr["layer1"].shape == (1, 64, 16, 16)
+    assert pyr["layer4"].shape == (1, 512, 2, 2)
+    seg = segment_grid(64, 64, cell_size=32)
+    feat, valid = segment_pyramid_pool({k: v[0] for k, v in pyr.items()}, seg, 4)
+    assert feat.shape == (4, 64 + 128 + 256 + 512)
+    assert bool(valid.all())
+    assert np.isfinite(np.asarray(feat)).all()
+
+
+def test_facade_torchvision():
+    fe = FeatureExtractor(
+        key=jax.random.PRNGKey(0), segmentation_type="grid", feature_type="torchvision",
+        input_size=64, cell_size=32, model_type="resnet18",
+    )
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 64, 64))
+    ex = fe.extract(img)
+    assert ex.features.shape == (4, fe.feature_dim)
+
+
+def test_convert_resnet_structure():
+    import torch
+
+    from convert_dino_weights import convert_resnet_state_dict
+
+    # Build a torch-shaped resnet18 state dict from our flax shapes
+    model = make_resnet("resnet18")
+    img = jnp.zeros((1, 3, 64, 64))
+    ref = model.init(jax.random.PRNGKey(0), img)
+
+    rng = np.random.RandomState(0)
+    sd = {"conv1.weight": rng.randn(64, 3, 7, 7).astype(np.float32)}
+    for k in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"bn1.{k}"] = rng.randn(64).astype(np.float32)
+    widths = [64, 128, 256, 512]
+    for s, w in enumerate(widths, start=1):
+        for b in range(2):
+            pre = f"layer{s}.{b}"
+            in_w = widths[s - 2] if (b == 0 and s > 1) else w
+            sd[f"{pre}.conv1.weight"] = rng.randn(w, in_w, 3, 3).astype(np.float32)
+            sd[f"{pre}.conv2.weight"] = rng.randn(w, w, 3, 3).astype(np.float32)
+            for c in (1, 2):
+                for k in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{pre}.bn{c}.{k}"] = rng.randn(w).astype(np.float32)
+            if b == 0 and s > 1:
+                sd[f"{pre}.downsample.0.weight"] = rng.randn(w, in_w, 1, 1).astype(np.float32)
+                for k in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{pre}.downsample.1.{k}"] = rng.randn(w).astype(np.float32)
+    params = convert_resnet_state_dict(sd)
+    out = model.apply(jax.tree_util.tree_map(jnp.asarray, params), img)
+    assert out["layer4"].shape == (1, 512, 2, 2)
+
+
+# ------------------------------------------------------------ timers etc
+
+
+class _Thing:
+    @accumulate_time
+    def work(self, n):
+        return sum(range(n))
+
+    @accumulate_memory
+    def alloc(self):
+        return jnp.ones((16, 16))
+
+
+def test_timers_accumulate_and_store(tmp_path):
+    t = _Thing()
+    for _ in range(3):
+        t.work(1000)
+    with ClassContextTimer(t, "block"):
+        pass
+    ct = ClassTimer([t], ["thing"])
+    s = str(ct)
+    assert "thing.work" in s and "n=3" in s
+    path = ct.store(str(tmp_path))
+    assert os.path.exists(path)
+    assert "block" in open(path).read()
+
+
+def test_device_monitor(tmp_path):
+    t = _Thing()
+    t.alloc()
+    with DeviceMonitor("test", verbose=False) as m:
+        _ = jnp.ones((8, 8))
+    mon = SystemLevelDeviceMonitor([t], ["thing"])
+    mon.update(step=0)
+    path = mon.store(str(tmp_path))
+    assert os.path.exists(path)
+    assert os.path.exists(os.path.join(str(tmp_path), "memory_thing.csv"))
+
+
+def test_misc_utils(tmp_path):
+    d = flatten_dict({"a": {"b": 1, "c": {"d": 2}}})
+    assert d == {"a_b": 1, "a_c_d": 2}
+    c = get_confidence(np.array([1.0, 2.0, 3.0]))
+    np.testing.assert_allclose(c, [0, 0.5, 1.0])
+    p = create_experiment_folder("unit/test", timestamp=False, root=str(tmp_path))
+    assert os.path.isdir(p)

@@ -83,6 +83,14 @@ class FeatureExtractor:
                 attention_impl=kwargs.get("attention_impl"),
             )
             self._feature_dim = self._extractor.feature_dim
+        elif feature_type == "torchvision":
+            from .torchvision_interface import TorchVisionInterface
+
+            self._extractor = TorchVisionInterface(
+                key=key, model_type=kwargs.get("model_type", "resnet18"), input_size=input_size,
+                params=kwargs.get("backbone_params"),
+            )
+            self._feature_dim = self._extractor.feature_dim
         elif feature_type == "sift":
             # 128 per channel x 3 RGB channels (the reference's
             # compute_sift concatenates per-channel descriptors,
@@ -180,6 +188,11 @@ class FeatureExtractor:
                 return self._extractor.features[0]
             self._extractor.inference(img, key=key)
             return self._extractor.features[0]
+        if ft == "torchvision":
+            # multiscale pyramid dict {name: (C, H_i, W_i)} — handled by
+            # the pyramid pooling path in extract().
+            pyr = self._extractor.inference(img)
+            return {k: v[0] for k, v in pyr.items()}
         if ft == "sift":
             return dense_sift_features(img[0])
         if ft == "histogram":
@@ -200,7 +213,12 @@ class FeatureExtractor:
         edges, edge_valid, seg, centers, center_valid = self.compute_segments(img, key=key)
         dense = self.compute_features(img, key=key)
 
-        if self._segmentation_type in ("none", None):
+        if isinstance(dense, dict):
+            # Multiscale pyramid (torchvision path): per-segment pooling
+            # across scales (reference feature_extractor.py:314-366).
+            feat, _ = segment_ops.segment_pyramid_pool(dense, seg, self.num_segments(H, W))
+            dense = None
+        elif self._segmentation_type in ("none", None):
             feat = dense.reshape(dense.shape[0], -1).T if dense is not None else None  # (HW, D)
         elif dense is not None:
             feat, _ = self.sparsify_features(dense, seg, self.num_segments(H, W))

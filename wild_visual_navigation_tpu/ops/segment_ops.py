@@ -163,6 +163,37 @@ def segment_random(key: jax.Array, height: int, width: int, n_random_pixels: int
     return seg.reshape(height, width)
 
 
+def segment_pyramid_pool(pyramid: dict, seg: jnp.ndarray, num_segments: int):
+    """Multiscale per-segment pooling over a CNN feature pyramid.
+
+    The fixed-shape equivalent of the reference's multiscale sparsify
+    path (feature_extractor.py:314-366): for each scale, the
+    segmentation is nearest-downsampled to the feature resolution and
+    segment means are pooled; segments that vanish at a coarse scale
+    fall back to the feature at the segment centroid (the reference's
+    prev_x/prev_y fallback, :342-353). Scale results are concatenated
+    along the channel axis.
+
+    pyramid: {name: (C_i, H_i, W_i)}; seg: (H, W) -> ((S, sum C_i), (S,) valid).
+    """
+    H, W = seg.shape
+    centers, seg_valid = segment_centers(seg, num_segments)  # (S, 2) in (x, y)
+    feats = []
+    for name in sorted(pyramid.keys()):
+        f = pyramid[name]
+        C, Hi, Wi = f.shape
+        iy = jnp.clip(jnp.floor(jnp.arange(Hi) * (H / Hi)).astype(jnp.int32), 0, H - 1)
+        ix = jnp.clip(jnp.floor(jnp.arange(Wi) * (W / Wi)).astype(jnp.int32), 0, W - 1)
+        seg_i = seg[iy, :][:, ix]
+        pooled, counts = segment_mean_pool(f, seg_i, num_segments)  # (S, C)
+        # centroid fallback for segments that vanished at this scale
+        cx = jnp.clip((centers[:, 0] * (Wi / W)).astype(jnp.int32), 0, Wi - 1)
+        cy = jnp.clip((centers[:, 1] * (Hi / H)).astype(jnp.int32), 0, Hi - 1)
+        fallback = f[:, cy, cx].T  # (S, C)
+        feats.append(jnp.where((counts > 0)[:, None], pooled, fallback))
+    return jnp.concatenate(feats, axis=-1), seg_valid
+
+
 def pixelwise_edges(height: int, width: int) -> jnp.ndarray:
     """4-neighbor edges for pixelwise segmentation (feature_extractor.py:192-194)."""
     seg = segment_pixelwise(height, width)
