@@ -1,0 +1,117 @@
+"""Offline training stack + optical flow tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wild_visual_navigation_tpu.offline import (
+    GraphTravDataset,
+    OfflineTrainer,
+    OfflineTrainerConfig,
+    accuracy,
+    auroc,
+    get_logger,
+    optimal_threshold,
+)
+from wild_visual_navigation_tpu.ops.optical_flow import dense_flow, track_points
+
+
+def _make_export(folder, n=20, S=16, D=8, seed=0):
+    """Synthetic mission export: separable grass/rock features."""
+    rng = np.random.RandomState(seed)
+    grass = rng.randn(D)
+    rock = rng.randn(D) * 2
+    os.makedirs(folder, exist_ok=True)
+    for i in range(n):
+        is_grass = rng.rand(S) < 0.5
+        feats = np.where(is_grass[:, None], grass, rock) + rng.randn(S, D) * 0.1
+        signal = np.where(is_grass, 0.9, 0.1)
+        valid = np.ones(S, bool)
+        np.savez_compressed(
+            os.path.join(folder, f"graph_{i}.npz"),
+            features=feats.astype(np.float32),
+            signal=signal.astype(np.float32),
+            signal_valid=valid,
+            segments=np.zeros((4, 4), np.int32),
+        )
+
+
+def test_metrics():
+    scores = np.array([0.9, 0.8, 0.3, 0.2])
+    labels = np.array([True, True, False, False])
+    assert auroc(scores, labels) == 1.0
+    assert accuracy(scores, labels, 0.5) == 1.0
+    t = optimal_threshold(scores, labels)
+    assert 0.3 < t <= 0.8
+
+
+def test_offline_trainer_learns(tmp_path):
+    export = str(tmp_path / "export")
+    _make_export(export)
+    train = GraphTravDataset.from_folder(export, mode="train")
+    val = GraphTravDataset.from_folder(export, mode="val")
+    assert len(train) == 16 and len(val) == 4
+
+    cfg = OfflineTrainerConfig(
+        model_cfg={"name": "SimpleMLP", "simple_mlp_cfg": {"input_size": 8, "hidden_sizes": [16, 1], "reconstruction": True}},
+        epochs=40,
+        batch_size=4,
+        output_folder=str(tmp_path / "out"),
+    )
+    trainer = OfflineTrainer(cfg)
+    logger = get_logger("csv", str(tmp_path / "logs"))
+    result = trainer.fit(train, val, logger=logger)
+    assert result["val_auroc"] > 0.95
+    assert result["best_checkpoint"] is not None and os.path.exists(result["best_checkpoint"])
+    assert os.path.exists(os.path.join(str(tmp_path / "logs"), "metrics.csv"))
+    # and the checkpoint is loadable by quick_start's format expectations
+    import pickle
+
+    with open(result["best_checkpoint"], "rb") as f:
+        payload = pickle.load(f)
+    assert "params" in payload and "cg_state" in payload
+
+
+def test_logger_registry(tmp_path):
+    with pytest.raises(ValueError):
+        get_logger("nope", str(tmp_path))
+    lg = get_logger("tensorboard", str(tmp_path / "tb"))
+    lg.log_metrics({"loss": 1.0}, step=0)
+    lg.finalize()
+
+
+# --------------------------------------------------------------- optical flow
+
+
+def _textured(h=96, w=96, seed=0):
+    rng = np.random.RandomState(seed)
+    img = rng.rand(h // 8, w // 8).astype(np.float32)
+    img = img.repeat(8, 0).repeat(8, 1)
+    for _ in range(2):
+        img = 0.25 * (np.roll(img, 1, 0) + np.roll(img, -1, 0) + np.roll(img, 1, 1) + np.roll(img, -1, 1))
+    return img
+
+
+def test_track_points_known_shift():
+    img = _textured()
+    shift = 3
+    img2 = np.roll(img, (shift, shift), axis=(0, 1))
+    pts = jnp.asarray([[40.0, 40.0], [56.0, 48.0], [30.0, 60.0]])
+    new_pts, valid = track_points(jnp.asarray(img), jnp.asarray(img2), pts, levels=3, window=15, iters=10)
+    assert bool(valid.all())
+    flow = np.asarray(new_pts - pts)
+    np.testing.assert_allclose(flow, shift, atol=0.35)
+
+
+def test_dense_flow_shapes():
+    img = _textured()
+    img2 = np.roll(img, 2, axis=1)
+    pts, flow, valid = dense_flow(jnp.asarray(img), jnp.asarray(img2), stride=16)
+    assert pts.shape == flow.shape
+    f = np.asarray(flow)[np.asarray(valid)]
+    # median flow matches the true (2, 0) shift
+    assert abs(np.median(f[:, 0]) - 2) < 0.5
+    assert abs(np.median(f[:, 1])) < 0.5

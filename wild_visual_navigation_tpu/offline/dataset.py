@@ -1,0 +1,61 @@
+"""Offline mission-graph dataset.
+
+Equivalent of the reference's offline data path
+(.deprecated/dataset/graph_trav_dataset.py consuming the mission-graph
+export of traversability_estimator.py:347-375): loads the npz files
+written by TraversabilityEstimator.save_graph (per-node features,
+supervision signal, validity, segments) and serves fixed-shape
+train/val batches.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+
+@dataclass
+class GraphTravDataset:
+    features: np.ndarray  # (N, S, D)
+    signal: np.ndarray  # (N, S)
+    signal_valid: np.ndarray  # (N, S)
+    sample_valid: np.ndarray  # (N, S)
+
+    @classmethod
+    def from_folder(cls, folder: str, mode: str = "train", percentage: float = 0.8) -> "GraphTravDataset":
+        files = sorted(glob.glob(os.path.join(folder, "graph_*.npz")))
+        if not files:
+            raise FileNotFoundError(f"no graph_*.npz exports under {folder}")
+        feats, sig, sv = [], [], []
+        for f in files:
+            d = np.load(f)
+            feats.append(d["features"])
+            sig.append(d["signal"])
+            sv.append(d["signal_valid"])
+        features = np.stack(feats)
+        signal = np.stack(sig)
+        signal_valid = np.stack(sv)
+        n = len(files)
+        cut = int(n * percentage)
+        sl = slice(0, cut) if mode == "train" else slice(cut, n)
+        return cls(
+            features=features[sl],
+            signal=signal[sl],
+            signal_valid=signal_valid[sl],
+            sample_valid=np.ones_like(signal_valid[sl], dtype=bool),
+        )
+
+    def __len__(self) -> int:
+        return self.features.shape[0]
+
+    def batches(self, batch_size: int, rng: np.random.RandomState, shuffle: bool = True) -> Iterator[Tuple]:
+        idx = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(idx)
+        for i in range(0, len(idx) - batch_size + 1, batch_size):
+            b = idx[i : i + batch_size]
+            yield self.features[b], self.signal[b], self.signal_valid[b], self.sample_valid[b]
