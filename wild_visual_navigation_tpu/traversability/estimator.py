@@ -126,6 +126,7 @@ class TraversabilityEstimator:
             self._params = self._model.init(rng, jnp.zeros((1, feature_dim)))
             self._loss_cfg = loss_cfg or TraversabilityLossConfig()
             self._cg_cfg = self._loss_cfg.confidence
+        self._lr = lr
         self._tx = optax.adam(lr)
         self._opt_state = self._tx.init(self._params)
         self._cg_state = confidence_init()
@@ -486,3 +487,40 @@ class TraversabilityEstimator:
         self._next_slot = 0
         self._cg_state = confidence_init()
         self._step = 0
+
+    # ------------------------------------------------- whole-object pickle
+    # (reference traversability_estimator.py:318-345 pickles the entire
+    # estimator; jitted closures and locks are rebuilt on load, device
+    # arrays round-trip through numpy.)
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        # locks, jitted closures, and the optax transformation (local
+        # closures) are rebuilt in __setstate__
+        for k in ("_learning_lock", "_reproject_update", "_train_step_fn", "_gather_batch", "_tx"):
+            state.pop(k, None)
+        state["_buffer"] = jax.tree_util.tree_map(np.asarray, self._buffer)
+        state["_params"] = jax.tree_util.tree_map(np.asarray, self._params)
+        state["_opt_state"] = jax.tree_util.tree_map(np.asarray, self._opt_state)
+        state["_cg_state"] = jax.tree_util.tree_map(np.asarray, self._cg_state)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._buffer = jax.tree_util.tree_map(jnp.asarray, self._buffer)
+        self._params = jax.tree_util.tree_map(jnp.asarray, self._params)
+        self._opt_state = jax.tree_util.tree_map(jnp.asarray, self._opt_state)
+        self._cg_state = jax.tree_util.tree_map(jnp.asarray, self._cg_state)
+        self._learning_lock = threading.Lock()
+        self._tx = optax.adam(self._lr)
+        self._build_jitted()
+
+    def save_pickle(self, path: str) -> str:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+        return path
+
+    @staticmethod
+    def load_pickle(path: str) -> "TraversabilityEstimator":
+        with open(path, "rb") as f:
+            return pickle.load(f)
