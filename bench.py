@@ -2,11 +2,16 @@
 
 Measures the BASELINE north-star metric (BASELINE.md): images/sec for
 the full per-frame pipeline — ImageNet normalize -> DINOv2 ViT-S/14
-backbone (Pallas flash attention, bf16) -> dense per-pixel SimpleMLP
-traversability + reconstruction scoring — at 448 px, batch 8, on the
+backbone (bf16, XLA fused attention) -> dense per-patch SimpleMLP
+traversability + reconstruction scoring — at 448 px, batch 16, on the
 real TPU. The reference design point is 10 images/sec/camera on an
 RTX-class GPU (default.yaml:39); `vs_baseline` is the ratio against
 that 10 img/s.
+
+Measurement method: N *distinct* pre-generated input batches, dispatch
+all, block on every output. Distinct inputs are load-bearing — the
+test environment's TPU relay deduplicates identical (program, args)
+executions, which silently inflates repeated-same-input loops.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
@@ -22,9 +27,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent))
 
 BASELINE_IMAGES_PER_SEC = 10.0  # reference rate gate per camera
-BATCH = 8
+BATCH = 16
 SIZE = 448
-ITERS = 30
+ITERS = 20
 
 
 def main():
@@ -35,8 +40,7 @@ def main():
     from wild_visual_navigation_tpu.models.vit import dense_features, make_vit
     from wild_visual_navigation_tpu.ops.resize import imagenet_normalize
 
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
-    vit = make_vit("dinov2", "vit_small", 14, attention_impl="flash" if on_tpu else "xla")
+    vit = make_vit("dinov2", "vit_small", 14, attention_impl="xla")
     key = jax.random.PRNGKey(0)
     vit_params = vit.init(key, jnp.zeros((1, 3, SIZE, SIZE)))
     D = vit.cfg.embed_dim
@@ -53,20 +57,20 @@ def main():
         B, Dd, Hp, Wp = feat.shape
         flat = feat.transpose(0, 2, 3, 1).reshape(-1, Dd)
         out = mlp.apply(mp, flat)
-        trav = out[:, 0].reshape(B, Hp, Wp)
-        return trav
+        return out[:, 0].reshape(B, Hp, Wp)
 
-    imgs = jax.random.uniform(jax.random.fold_in(key, 2), (BATCH, 3, SIZE, SIZE), dtype=jnp.float32)
+    # Distinct inputs (see module docstring).
+    batches = [
+        jax.random.uniform(jax.random.fold_in(key, 100 + i), (BATCH, 3, SIZE, SIZE), dtype=jnp.float32)
+        for i in range(ITERS)
+    ]
+    jax.block_until_ready(batches)
 
-    # Warmup / compile
-    pipeline(vit_params, mlp_params, imgs).block_until_ready()
+    pipeline(vit_params, mlp_params, batches[0]).block_until_ready()  # compile
 
-    # Pipelined dispatch (no per-step blocking), block at the end.
     t0 = time.time()
-    out = None
-    for _ in range(ITERS):
-        out = pipeline(vit_params, mlp_params, imgs)
-    out.block_until_ready()
+    outs = [pipeline(vit_params, mlp_params, b) for b in batches]
+    jax.block_until_ready(outs)
     dt = time.time() - t0
 
     images_per_sec = ITERS * BATCH / dt

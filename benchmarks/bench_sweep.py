@@ -56,11 +56,17 @@ def main():
                 fn = jax.jit(lambda p, x: dense_features(vit, p, x))
                 try:
                     fn(params, img).block_until_ready()  # compile
+                    # distinct inputs per trial: the test env's TPU relay
+                    # dedups identical dispatches (see bench.py docstring)
+                    imgs = [
+                        jax.random.uniform(jax.random.fold_in(jax.random.PRNGKey(2), t),
+                                           (args.batch, 3, size_eff, size_eff))
+                        for t in range(args.trials)
+                    ]
+                    jax.block_until_ready(imgs)
                     t0 = time.time()
-                    out = None
-                    for _ in range(args.trials):
-                        out = fn(params, img)
-                    out.block_until_ready()
+                    outs = [fn(params, im) for im in imgs]
+                    jax.block_until_ready(outs)
                     dt = (time.time() - t0) / args.trials
                 except Exception as e:  # OOM at large sizes etc.
                     print(f"SKIP {backbone}_{btype}/{patch} {size_eff}px {attn}: {type(e).__name__}")

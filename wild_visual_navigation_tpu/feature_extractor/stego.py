@@ -39,7 +39,7 @@ class StegoInterface:
         if run_crf:
             raise NotImplementedError("CRF post-processing is not supported (reference default is off)")
         if attention_impl is None:
-            attention_impl = "flash" if jax.devices()[0].platform != "cpu" else "xla"
+            attention_impl = "xla"  # see dino._default_attention_impl
         self._input_size = input_size
         self._n_image_clusters = n_image_clusters
         self._run_clustering = run_clustering
