@@ -68,7 +68,7 @@ def test_estimator_whole_pickle(tmp_path):
     path = est.save_pickle(str(tmp_path / "estimator.pkl"))
     est2 = TraversabilityEstimator.load_pickle(path)
     assert est2.step == step0
-    assert est2._mission_graph.get_num_valid_nodes() == est._mission_graph.get_num_valid_nodes()
+    assert est2.get_num_valid_nodes() == est.get_num_valid_nodes()
     np.testing.assert_array_equal(np.asarray(est2.buffer.signal), np.asarray(est.buffer.signal))
     # the restored estimator can keep training
     out = est2.train()

@@ -170,7 +170,7 @@ def test_two_node_pipeline_with_hot_swap(tmp_path):
 
     est = ln_node.runtime.estimator
     assert est.step > 5
-    assert est._mission_graph.get_num_valid_nodes() >= 3
+    assert est.get_num_valid_nodes() >= 3
     assert os.path.exists(os.path.join(folder, ".tmp_state_dict.msgpack"))
 
     # extractor reloads the learner's weights

@@ -186,3 +186,31 @@ def test_misc_utils(tmp_path):
     np.testing.assert_allclose(c, [0, 0.5, 1.0])
     p = create_experiment_folder("unit/test", timestamp=False, root=str(tmp_path))
     assert os.path.isdir(p)
+
+
+def test_efficientnet_pyramid():
+    from wild_visual_navigation_tpu.models.efficientnet import (
+        efficientnet_pyramid_dim,
+        make_efficientnet,
+    )
+
+    model = make_efficientnet("efficientnet_b0")
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 64, 64))
+    params = model.init(jax.random.PRNGKey(1), img)
+    pyr = model.apply(params, img)
+    assert pyr["layer1"].shape == (1, 24, 16, 16)
+    assert pyr["layer2"].shape == (1, 40, 8, 8)
+    assert pyr["layer3"].shape == (1, 112, 4, 4)
+    assert pyr["layer4"].shape == (1, 320, 2, 2)
+    assert efficientnet_pyramid_dim("efficientnet_b0") == 24 + 40 + 112 + 320
+    assert np.isfinite(np.asarray(pyr["layer4"])).all()
+
+
+def test_facade_efficientnet():
+    fe = FeatureExtractor(
+        key=jax.random.PRNGKey(0), segmentation_type="grid", feature_type="torchvision",
+        input_size=64, cell_size=32, model_type="efficientnet_b0",
+    )
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 64, 64))
+    ex = fe.extract(img)
+    assert ex.features.shape == (4, fe.feature_dim)

@@ -156,7 +156,7 @@ def test_estimator_full_online_loop():
         assert ok or i > 0  # first must insert
 
     assert est._mission_graph.get_num_nodes() >= 3
-    assert est._mission_graph.get_num_valid_nodes() == 0  # no supervision yet
+    assert est.get_num_valid_nodes() == 0  # no supervision yet
 
     # Supervision nodes walking under the cameras
     for i, x in enumerate(np.linspace(0, 1.0, 6)):
@@ -174,7 +174,7 @@ def test_estimator_full_online_loop():
         )
         est.add_supervision_node(sn)
 
-    n_valid = est._mission_graph.get_num_valid_nodes()
+    n_valid = est.get_num_valid_nodes()
     assert n_valid >= 3, f"reprojection produced no supervised nodes ({n_valid})"
 
     # signals hold the traversability value

@@ -30,7 +30,12 @@ class TorchVisionInterface:
     ):
         self._input_size = input_size
         self._model_type = model_type
-        self.model = make_resnet(model_type, dtype=dtype)
+        if model_type.startswith("efficientnet"):
+            from ..models.efficientnet import make_efficientnet
+
+            self.model = make_efficientnet(model_type, dtype=dtype)
+        else:
+            self.model = make_resnet(model_type, dtype=dtype)
         if params is None:
             if key is None:
                 key = jax.random.PRNGKey(0)
@@ -48,6 +53,10 @@ class TorchVisionInterface:
 
     @property
     def feature_dim(self) -> int:
+        if self._model_type.startswith("efficientnet"):
+            from ..models.efficientnet import efficientnet_pyramid_dim
+
+            return efficientnet_pyramid_dim(self._model_type)
         return pyramid_feature_dim(self._model_type)
 
     def inference(self, img: jnp.ndarray) -> dict:

@@ -1,0 +1,129 @@
+"""Fused per-frame program: segmentation + backbone + pooling + head.
+
+The facade (feature_extractor/feature_extractor.py) composes its stages
+as separate jitted calls — fine on a local chip, but every dispatch
+costs host/tunnel latency and forfeits cross-stage fusion. This module
+builds ONE XLA program for the whole per-frame inference path:
+
+    image -> resize/normalize -> ViT dense features -> SLIC/grid
+    segmentation -> per-segment pooling + adjacency + centers ->
+    MLP traversability + confidence -> per-pixel maps
+
+so a camera frame is a single device round-trip (plus the params
+pytree already resident). This is the production path of WVNRuntime
+(use_fused=True); the composed facade remains for stego/torchvision
+modes and introspection.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.vit import dense_features
+from ..ops import segment_ops
+from ..ops.resize import center_crop, imagenet_normalize, interpolate_bilinear, resize_smaller_edge_nearest
+from ..ops.slic import slic
+from ..utils.confidence_generator import ConfidenceConfig, confidence_inference
+
+
+class FrameResult(NamedTuple):
+    traversability: jnp.ndarray  # (H, W)
+    confidence: jnp.ndarray  # (H, W)
+    features: jnp.ndarray  # (S, D) pooled
+    feat_valid: jnp.ndarray  # (S,)
+    segments: jnp.ndarray  # (H, W) int32
+    edges: jnp.ndarray  # (2, E)
+    edge_valid: jnp.ndarray  # (E,)
+    centers: jnp.ndarray  # (S, 2)
+
+
+def build_fused_frame_fn(
+    vit,
+    mlp,
+    cg_cfg: ConfidenceConfig,
+    input_size: int,
+    segmentation_type: str = "slic",
+    num_segments: int = 100,
+    slic_compactness: float = 10.0,
+    slic_iterations: int = 10,
+    cell_size: int = 32,
+    max_edges: int = 1024,
+    prediction_per_pixel: bool = True,
+    jit_compile: bool = True,
+):
+    """Returns fn(vit_params, mlp_params, cg_state, img) ->
+    FrameResult (jitted unless jit_compile=False — the raw body is
+    composable into larger programs, e.g. frame+buffer-insert).
+    img: (1, 3, H0, W0) in [0, 1]; output maps are
+    (input_size, input_size)."""
+    H = W = input_size
+    S = num_segments
+
+    def frame(vit_params, mlp_params, cg_state, img):
+        x = resize_smaller_edge_nearest(img, H)
+        x = center_crop(x, H)
+        xn = imagenet_normalize(x)
+        feat = dense_features(vit, vit_params, xn)  # (1, D, Hp, Wp)
+        dense = interpolate_bilinear(feat, H, W)[0]  # (D, H, W)
+
+        if segmentation_type == "slic":
+            seg = slic(x[0], num_components=S, compactness=slic_compactness, iterations=slic_iterations)
+        elif segmentation_type == "grid":
+            seg = segment_ops.segment_grid(H, W, cell_size)
+        elif segmentation_type in ("none", None):
+            seg = segment_ops.segment_pixelwise(H, W)
+        else:
+            raise ValueError(f"fused path does not support segmentation [{segmentation_type}]")
+
+        pooled, counts = segment_ops.segment_mean_pool(dense, seg, S)
+        edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
+        centers, center_valid = segment_ops.segment_centers(seg, S)
+
+        D = dense.shape[0]
+        if prediction_per_pixel:
+            flat = dense.reshape(D, -1).T
+            out = mlp.apply(mlp_params, flat)
+            trav = out[:, 0].reshape(H, W)
+            reco = jnp.mean((out[:, 1:] - flat) ** 2, axis=-1)
+            conf = confidence_inference(cg_cfg, cg_state, reco).reshape(H, W)
+        else:
+            out = mlp.apply(mlp_params, pooled)
+            reco = jnp.mean((out[:, 1:] - pooled) ** 2, axis=-1)
+            conf_seg = confidence_inference(cg_cfg, cg_state, reco)
+            sid = seg.clip(0, S - 1)
+            trav = out[:, 0][sid]
+            conf = conf_seg[sid]
+
+        return FrameResult(
+            traversability=trav,
+            confidence=conf,
+            features=pooled,
+            feat_valid=counts > 0,
+            segments=seg,
+            edges=edges,
+            edge_valid=edge_valid,
+            centers=centers,
+        )
+
+    return jax.jit(frame) if jit_compile else frame
+
+
+def build_fused_batch_fn(vit, mlp, input_size: int, batch: int):
+    """Multi-camera batched variant: (B, 3, H, W) -> per-pixel trav maps
+    in one program (cameras batched into one pjit call — SURVEY §2.4's
+    multi-camera scaling axis)."""
+    H = input_size
+
+    @jax.jit
+    def frames(vit_params, mlp_params, imgs):
+        xn = imagenet_normalize(imgs)
+        feat = dense_features(vit, vit_params, xn)  # (B, D, Hp, Wp)
+        B, D, Hp, Wp = feat.shape
+        flat = feat.transpose(0, 2, 3, 1).reshape(-1, D)
+        out = mlp.apply(mlp_params, flat)
+        return out[:, 0].reshape(B, Hp, Wp)
+
+    return frames

@@ -173,7 +173,7 @@ def run_replay(
                 if st.loss_total > 0:
                     report.train_steps += 1
                     report.final_loss = st.loss_total
-    report.valid_nodes = runtime.estimator._mission_graph.get_num_valid_nodes()
+    report.valid_nodes = runtime.estimator.get_num_valid_nodes()
     if verbose:
         print(report)
     return report

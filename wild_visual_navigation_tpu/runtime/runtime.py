@@ -47,10 +47,30 @@ from .scheduler import Scheduler
 
 @dataclass
 class InferenceResult:
-    traversability: np.ndarray  # (H, W) in [0, 1]
-    confidence: Optional[np.ndarray]  # (H, W) in [0, 1]
+    """Per-frame outputs. The maps stay ON DEVICE — device->host
+    transfer of full float maps per frame is the latency killer (both
+    through a remote-TPU tunnel and, at scale, over PCIe); consumers
+    pull what they publish via `to_numpy` (optionally uint8-quantized
+    and strided) at their own rate."""
+
+    traversability: "jnp.ndarray"  # (H, W) in [0, 1], device-resident
+    confidence: Optional["jnp.ndarray"]  # (H, W) in [0, 1]
     camera: str
     stamp: float
+
+    def to_numpy(self, quantize_uint8: bool = False, stride: int = 1):
+        """Download the maps; uint8 quantization + striding cut the
+        transfer 4-16x for publication paths."""
+        def conv(a):
+            if a is None:
+                return None
+            if stride > 1:
+                a = a[::stride, ::stride]
+            if quantize_uint8:
+                a = (jnp.clip(a, 0, 1) * 255).astype(jnp.uint8)
+            return np.asarray(a)
+
+        return conv(self.traversability), conv(self.confidence)
 
 
 @dataclass
@@ -78,6 +98,7 @@ class WVNRuntime:
         buffer_capacity: int = 256,
         reprojection_fanout: int = 32,
         backbone_params=None,
+        use_fused: bool = True,
     ):
         self.fe_params = fe_params or FeatureExtractorNodeParams()
         self.ln_params = ln_params or LearningNodeParams()
@@ -154,6 +175,48 @@ class WVNRuntime:
         self._learning_thread: Optional[threading.Thread] = None
 
         self._build_jitted()
+
+        # Fused single-dispatch frame path (runtime/fused.py): available
+        # for dino backbones + on-device segmentation, not for anomaly
+        # mode (different head output contract).
+        self._fused_frame = None
+        if (
+            use_fused
+            and not anomaly_detection
+            and "dino" in fp.feature_type
+            and fp.segmentation_type in ("slic", "grid", "none", None)
+        ):
+            from .fused import build_fused_frame_fn
+            from ..traversability.mission_buffer import buffer_insert_impl
+
+            di = self.feature_extractor._extractor
+            frame_raw = build_fused_frame_fn(
+                di.vit,
+                self.estimator.model,
+                self.estimator._cg_cfg,
+                input_size=self._H,
+                segmentation_type=fp.segmentation_type,
+                num_segments=self._S,
+                slic_compactness=self.feature_extractor._slic_compactness,
+                cell_size=self.feature_extractor._cell_size,
+                max_edges=self.feature_extractor._max_edges,
+                prediction_per_pixel=fp.prediction_per_pixel,
+                jit_compile=False,
+            )
+            self._fused_frame = jax.jit(frame_raw)
+            self._vit_params = di.params
+
+            # frame + mission-buffer insert in ONE program: the entire
+            # accepted camera frame is a single device dispatch.
+            @partial(jax.jit, donate_argnums=(4,))
+            def _frame_and_insert(vit_params, mlp_params, cg_state, img, buf, slot, K_scaled, pose_cam):
+                fr = frame_raw(vit_params, mlp_params, cg_state, img)
+                new_buf = buffer_insert_impl(
+                    buf, slot, fr.features, fr.feat_valid, fr.segments, K_scaled, pose_cam
+                )
+                return fr, new_buf
+
+            self._frame_and_insert = _frame_and_insert
 
     # ------------------------------------------------------------ jitted
     def _build_jitted(self):
@@ -234,16 +297,53 @@ class WVNRuntime:
             prediction_per_pixel = self.fe_params.prediction_per_pixel
 
         img = jnp.asarray(img)[None]  # (1, 3, H0, W0)
-        img_r = resize_image(img, self._H, self._W if self._W != self._H else None)
-        ex = self.feature_extractor.extract(img_r, return_dense_features=prediction_per_pixel)
 
         with self._mailbox_lock:
             params, cg = self._inference_params, self._inference_cg
 
-        if prediction_per_pixel and ex.dense_features is not None:
-            trav, conf = self._predict_dense(params, cg, ex.dense_features)
+        if self._fused_frame is not None and prediction_per_pixel == self.fe_params.prediction_per_pixel:
+            use_for_training = bool(
+                self.fe_params.camera_topics.get(camera, {}).get("use_for_training", True)
+            )
+            K_scaled = scale_intrinsics(
+                jnp.asarray(K)[None], orig_h, orig_w, new_h=self._H,
+                new_w=None if self._W == self._H else self._W,
+            )[0]
+            node = MissionNode(
+                timestamp=stamp,
+                pose_base_in_world=np.asarray(pose_base_in_world, dtype=np.float64),
+                pose_cam_in_base=np.asarray(pose_cam_in_base, dtype=np.float64),
+                camera_name=camera,
+                use_for_training=use_for_training,
+            )
+            slot = self.estimator.allocate_slot(node)
+            if slot is not None:
+                fr, new_buf = self._frame_and_insert(
+                    self._vit_params, params, cg, img, self.estimator.buffer,
+                    jnp.asarray(slot), K_scaled, jnp.asarray(node.pose_cam_in_world, jnp.float32),
+                )
+                self.estimator.commit_buffer(new_buf)
+            else:
+                fr = self._fused_frame(self._vit_params, params, cg, img)
+            return InferenceResult(
+                traversability=fr.traversability,
+                confidence=fr.confidence,
+                camera=camera,
+                stamp=stamp,
+            )
         else:
-            trav, conf = self._predict_segments(params, cg, ex.features, ex.segments)
+            img_r = resize_image(img, self._H, self._W if self._W != self._H else None)
+            ex = self.feature_extractor.extract(img_r, return_dense_features=prediction_per_pixel)
+            if prediction_per_pixel and ex.dense_features is not None:
+                trav, conf = self._predict_dense(params, cg, ex.dense_features)
+            else:
+                trav, conf = self._predict_segments(params, cg, ex.features, ex.segments)
+            ex_features, ex_segments = ex.features, ex.segments
+            ex_feat_valid = (
+                ex.center_valid
+                if ex.features is not None and ex.center_valid.shape[0] == ex.features.shape[0]
+                else jnp.ones((self._S,), bool)
+            )
 
         # Mission-node ingestion (imagefeat_callback equivalent)
         use_for_training = bool(
@@ -258,13 +358,12 @@ class WVNRuntime:
             camera_name=camera,
             use_for_training=use_for_training,
         )
-        feat_valid = ex.center_valid if ex.center_valid.shape[0] == self._S else jnp.ones((self._S,), bool)
-        if ex.features is not None and ex.features.shape[0] == self._S:
-            self.estimator.add_mission_node(node, ex.features, feat_valid, ex.segments, K_scaled)
+        if ex_features is not None and ex_features.shape[0] == self._S:
+            self.estimator.add_mission_node(node, ex_features, ex_feat_valid, ex_segments, K_scaled)
 
         return InferenceResult(
-            traversability=np.asarray(trav),
-            confidence=None if conf is None else np.asarray(conf),
+            traversability=trav,
+            confidence=conf,
             camera=camera,
             stamp=stamp,
         )
@@ -310,14 +409,22 @@ class WVNRuntime:
     def learning_step(self) -> SystemState:
         """One tick of the learning loop (reference
         learning_thread_loop, wvn_learning_node.py:344-408): train step,
-        SystemState update, params hot-swap at checkpoint rate."""
-        res = self.estimator.train()
+        SystemState update, params hot-swap at checkpoint rate.
+
+        Loss scalars are read back from the device only at the logging
+        cadence (ln_params.logging_thread_rate, reference default 2 Hz)
+        — a per-step readback stalls the 10 Hz loop on D2H latency;
+        SystemState carries the last read values in between."""
+        log_every = max(1, int(self.ln_params.learning_thread_rate / max(self.ln_params.logging_thread_rate, 1e-9)))
+        convert = (self.estimator.step % log_every) == 0
+        res = self.estimator.train(convert_losses=convert)
         st = self.system_state
         st.mission_graph_num_valid_node = res.get("mission_graph_num_valid_node", 0)
         st.step = self.estimator.step
-        st.loss_total = res.get("loss_total", -1.0)
-        st.loss_trav = res.get("loss_trav", -1.0)
-        st.loss_reco = res.get("loss_reco", -1.0)
+        if convert or "loss_total" not in res:
+            st.loss_total = float(res.get("loss_total", -1.0))
+            st.loss_trav = float(res.get("loss_trav", -1.0))
+            st.loss_reco = float(res.get("loss_reco", -1.0))
         st.pause_learning = self.estimator.pause_learning
 
         swap_every = max(1, int(self.ln_params.learning_thread_rate / self.ln_params.load_save_checkpoint_rate))

@@ -53,7 +53,7 @@ class SupervisionGenerator:
             outlier_rejection=kf_outlier_rejection,
             outlier_delta=kf_outlier_rejection_delta,
         )
-        self._kf_state = KalmanState(x=jnp.zeros((1,)), P=jnp.eye(1) * 0.1)
+        self._kf_state = KalmanState(x=np.zeros((1,), np.float32), P=np.eye(1, dtype=np.float32) * 0.1)
         self._sigmoid_slope = sigmoid_slope
         self._sigmoid_cutoff = sigmoid_cutoff
         self._untraversable_thr = untraversable_thr
@@ -71,6 +71,33 @@ class SupervisionGenerator:
         self._traversability_var = 1.0
         return self._traversability, self._traversability_var, self._is_untraversable
 
+    def _kf_step_host(self, error: float) -> float:
+        """1-D KF update in numpy. The filter is scalar; dispatching it
+        to the device costs a full host->device round trip per robot
+        state (tens of ms through a remote tunnel) for microseconds of
+        math. Numerics identical to utils.kalman_filter.kf_step."""
+        p = self._kf_params
+        x = float(self._kf_state.x[0])
+        P = float(self._kf_state.P[0, 0])
+        A, Q = float(p.proc_model[0, 0]), float(p.proc_cov[0, 0])
+        Hm, R = float(p.meas_model[0, 0]), float(p.meas_cov[0, 0])
+        x = A * x
+        P = A * P * A + Q
+        innov = error - Hm * x
+        w = 1.0
+        if p.outlier_rejection != "none":
+            r = abs(innov) / np.sqrt(R)
+            if p.outlier_rejection == "hard":
+                w = 0.0 if r >= p.outlier_delta else 1.0
+            elif p.outlier_rejection == "huber":
+                w = 1.0 if r <= p.outlier_delta else p.outlier_delta / r
+        S_cov = Hm * P * Hm + R
+        K = w * P * Hm / S_cov
+        x = x + K * innov
+        P = (1.0 - K * Hm) * P
+        self._kf_state = KalmanState(x=np.asarray([x], np.float32), P=np.asarray([[P]], np.float32))
+        return x
+
     def update_velocity_tracking(
         self,
         current_velocity: np.ndarray,
@@ -83,8 +110,7 @@ class SupervisionGenerator:
         cur = np.asarray(current_velocity, dtype=np.float32).reshape(-1)[:6]
         des = np.asarray(desired_velocity, dtype=np.float32).reshape(-1)[:6]
         error = float(np.mean((S @ cur - S @ des) ** 2)) / max_velocity
-        self._kf_state = kf_step(self._kf_params, self._kf_state, jnp.asarray([error]))
-        return self._squash(float(self._kf_state.x[0]))
+        return self._squash(self._kf_step_host(error))
 
     def update_pose_prediction(
         self,

@@ -137,8 +137,21 @@ class TraversabilityEstimator:
         self._pause_training = False
         self._pause_mission_graph = False
         self._pause_supervision_graph = False
+        # (mission_nodes, device counts) awaiting flag resolution
+        self._pending_supervision: list = []
 
         self._build_jitted()
+
+    def _resolve_pending_supervision(self):
+        """Batched readback of deferred supervision counts -> node
+        validity flags (one D2H transfer for all pending updates)."""
+        if not self._pending_supervision:
+            return
+        pending, self._pending_supervision = self._pending_supervision, []
+        all_counts = np.asarray(jnp.stack([c for _, c in pending]))
+        for (nodes, _), counts in zip(pending, all_counts):
+            for i, n in enumerate(nodes):
+                n._has_supervision = bool(counts[i] > 0)
 
     # ------------------------------------------------------------ jitted
     def _build_jitted(self):
@@ -182,8 +195,14 @@ class TraversabilityEstimator:
         # aliases the latest params pytree (zero-copy hot-swap), so the
         # train step must not invalidate the previous buffers. They are
         # tiny (an MLP head); only the optimizer state is donated.
+        # The batch gather happens INSIDE the step (buf + idx in), so
+        # one training iteration is a single device dispatch.
         @partial(jax.jit, donate_argnums=(1,))
-        def _train_step(params, opt_state, cg_state, x, y, yv, sv):
+        def _train_step(params, opt_state, cg_state, buf: MissionBuffer, idx):
+            x = buf.features[idx]
+            y = buf.signal[idx]
+            yv = buf.signal_valid[idx]
+            sv = buf.feat_valid[idx] & buf.valid[idx][:, None]
             batch = TravBatch(
                 x=x.reshape(-1, x.shape[-1]), y=y.reshape(-1), y_valid=yv.reshape(-1), sample_valid=sv.reshape(-1)
             )
@@ -259,6 +278,10 @@ class TraversabilityEstimator:
     def pause_supervision_graph(self, pause: bool):
         self._pause_supervision_graph = pause
 
+    def get_num_valid_nodes(self) -> int:
+        self._resolve_pending_supervision()
+        return self._mission_graph.get_num_valid_nodes()
+
     def get_mission_nodes(self):
         return self._mission_graph.get_nodes()
 
@@ -266,6 +289,7 @@ class TraversabilityEstimator:
         return self._supervision_graph.get_nodes()
 
     def get_last_valid_mission_node(self):
+        self._resolve_pending_supervision()
         for node in reversed(self._mission_graph.get_nodes()):
             if node.is_valid():
                 return node
@@ -282,6 +306,30 @@ class TraversabilityEstimator:
             self._vis_mission_node = nodes[-self._vis_node_index]
 
     # ------------------------------------------------------- node intake
+    def allocate_slot(self, node: MissionNode) -> Optional[int]:
+        """Graph-gate the node and reserve a ring-buffer slot WITHOUT
+        writing the buffer — the runtime's fused frame program writes
+        the payload itself and commits via `commit_buffer` (one device
+        dispatch for extract+infer+insert)."""
+        if self._pause_mission_graph:
+            return None
+        success = self._mission_graph.add_node(node)
+        if not (success and node.use_for_training):
+            return None
+        slot = self._next_slot % self._buffer.capacity
+        self._next_slot += 1
+        node.buffer_slot = slot
+        evicted = self._slot_to_node.pop(slot, None)
+        if evicted is not None:
+            evicted._has_supervision = False
+            evicted.buffer_slot = -1
+        self._slot_to_node[slot] = node
+        return slot
+
+    def commit_buffer(self, new_buffer: MissionBuffer):
+        """Adopt a buffer updated by an external fused program."""
+        self._buffer = new_buffer
+
     def add_mission_node(
         self,
         node: MissionNode,
@@ -293,20 +341,9 @@ class TraversabilityEstimator:
     ) -> bool:
         """Gate by travel distance, then write the training payload into
         the device ring buffer (reference add_mission_node, :165-196)."""
-        if self._pause_mission_graph:
+        slot = self.allocate_slot(node)
+        if slot is None:
             return False
-        success = self._mission_graph.add_node(node)
-        if not (success and node.use_for_training):
-            return False
-
-        slot = self._next_slot % self._buffer.capacity
-        self._next_slot += 1
-        node.buffer_slot = slot
-        evicted = self._slot_to_node.pop(slot, None)
-        if evicted is not None:
-            evicted._has_supervision = False
-            evicted.buffer_slot = -1
-        self._slot_to_node[slot] = node
         self._buffer = buffer_insert(
             self._buffer,
             jnp.asarray(slot),
@@ -368,9 +405,12 @@ class TraversabilityEstimator:
             jnp.asarray(footprint, jnp.float32),
             jnp.asarray(float(pnode.traversability), jnp.float32),
         )
-        counts = np.asarray(valid_counts)
-        for i, n in enumerate(mission_nodes):
-            n._has_supervision = bool(counts[i] > 0)
+        # Defer the counts device->host readback: a per-update scalar
+        # download stalls the 10 Hz supervision path (fixed D2H latency
+        # is ~25 ms through a remote-TPU link). Flags are resolved
+        # lazily, in one batched transfer, by the consumers that need
+        # them (training/validity queries).
+        self._pending_supervision.append((mission_nodes, valid_counts))
 
         if self._mode == WVNMode.EXTRACT_LABELS and self._extraction_store_folder:
             self._export_supervision_masks(mission_nodes)
@@ -387,37 +427,55 @@ class TraversabilityEstimator:
             np.save(path, store)
 
     # ---------------------------------------------------------- training
-    def make_batch(self, batch_size: Optional[int] = None):
-        """Sample random valid nodes and gather their training arrays
-        (reference make_batch, :431-446). Sampling with replacement when
+    def sample_batch_indices(self, batch_size: Optional[int] = None):
+        """Random valid buffer slots (host RNG); replacement only when
         fewer valid nodes than batch_size (fixed shapes)."""
+        self._resolve_pending_supervision()
         batch_size = batch_size or self._batch_size
         valid = [n for n in self._mission_graph.get_valid_nodes() if n.buffer_slot >= 0]
         if not valid:
             return None
         slots = np.array([n.buffer_slot for n in valid], dtype=np.int32)
-        choice = np.random.choice(slots, size=batch_size, replace=len(slots) < batch_size)
-        return self._gather_batch(self._buffer, jnp.asarray(choice))
+        return np.random.choice(slots, size=batch_size, replace=len(slots) < batch_size)
 
-    def train(self) -> dict:
-        """One optimization step (reference train(), :448-497)."""
+    def make_batch(self, batch_size: Optional[int] = None):
+        """Sample random valid nodes and gather their training arrays
+        (reference make_batch, :431-446)."""
+        idx = self.sample_batch_indices(batch_size)
+        if idx is None:
+            return None
+        return self._gather_batch(self._buffer, jnp.asarray(idx))
+
+    def train(self, convert_losses: bool = True) -> dict:
+        """One optimization step (reference train(), :448-497).
+
+        convert_losses=False leaves the loss values as device scalars in
+        the return dict (and self.loss stale) — the production runtime
+        converts at its logging cadence instead of stalling every step
+        on a device->host readback."""
         if self._pause_training:
             return {}
+        self._resolve_pending_supervision()
         num_valid = self._mission_graph.get_num_valid_nodes()
         return_dict = {"mission_graph_num_valid_node": num_valid}
         if num_valid > self._min_samples_for_training:
-            batch = self.make_batch(self._batch_size)
-            if batch is not None:
-                x, y, yv, sv = batch
+            idx = self.sample_batch_indices(self._batch_size)
+            if idx is not None:
                 with self._learning_lock:
                     self._params, self._opt_state, self._cg_state, loss, aux = self._train_step_fn(
-                        self._params, self._opt_state, self._cg_state, x, y, yv, sv
+                        self._params, self._opt_state, self._cg_state, self._buffer, jnp.asarray(idx)
                     )
                 self._step += 1
-                self._loss = float(loss)
-                return_dict["loss_total"] = self._loss
-                return_dict["loss_trav"] = float(aux["loss_trav"])
-                return_dict["loss_reco"] = float(aux["loss_reco"])
+                if convert_losses:
+                    self._loss = float(loss)
+                    return_dict["loss_total"] = self._loss
+                    return_dict["loss_trav"] = float(aux["loss_trav"])
+                    return_dict["loss_reco"] = float(aux["loss_reco"])
+                else:
+                    self._loss_dev = loss
+                    return_dict["loss_total"] = loss
+                    return_dict["loss_trav"] = aux["loss_trav"]
+                    return_dict["loss_reco"] = aux["loss_reco"]
                 return return_dict
         return_dict["loss_total"] = -1
         return return_dict
@@ -493,7 +551,9 @@ class TraversabilityEstimator:
     # estimator; jitted closures and locks are rebuilt on load, device
     # arrays round-trip through numpy.)
     def __getstate__(self):
+        self._resolve_pending_supervision()
         state = self.__dict__.copy()
+        state["_pending_supervision"] = []
         # locks, jitted closures, and the optax transformation (local
         # closures) are rebuilt in __setstate__
         for k in ("_learning_lock", "_reproject_update", "_train_step_fn", "_gather_batch", "_tx"):

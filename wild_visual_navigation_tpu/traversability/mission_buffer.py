@@ -58,8 +58,7 @@ def buffer_init(capacity: int, num_segments: int, feature_dim: int, height: int,
     )
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def buffer_insert(
+def buffer_insert_impl(
     buf: MissionBuffer,
     slot: jnp.ndarray,
     features: jnp.ndarray,
@@ -84,3 +83,6 @@ def buffer_insert(
         pose_cam_in_world=buf.pose_cam_in_world.at[slot].set(pose_cam_in_world.astype(jnp.float32)),
         valid=buf.valid.at[slot].set(True),
     )
+
+
+buffer_insert = partial(jax.jit, donate_argnums=(0,))(buffer_insert_impl)
