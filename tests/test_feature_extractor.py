@@ -206,3 +206,31 @@ def test_stego_interface_tiny():
     assert cluster.shape == (1, 16, 16)
     assert si.linear_segments.shape == (1, 16, 16)
     assert int(jnp.max(cluster)) < 4
+
+
+def test_crf_smooths_noisy_labels():
+    from wild_visual_navigation_tpu.ops.crf import crf_refine_labels
+
+    # Two color regions with salt&pepper label noise: CRF must clean it.
+    H = W = 32
+    img = jnp.zeros((3, H, W))
+    img = img.at[:, :, : W // 2].set(jnp.asarray([0.9, 0.1, 0.1])[:, None, None])
+    img = img.at[:, :, W // 2 :].set(jnp.asarray([0.1, 0.1, 0.9])[:, None, None])
+    true = jnp.concatenate([jnp.zeros((H, W // 2)), jnp.ones((H, W // 2))], axis=1).astype(jnp.int32)
+    rng = np.random.RandomState(0)
+    noise = rng.rand(H, W) < 0.15
+    noisy = jnp.where(jnp.asarray(noise), 1 - true, true)
+    err_before = float(jnp.mean((noisy != true).astype(jnp.float32)))
+    refined = crf_refine_labels(noisy, img, num_classes=2)
+    err_after = float(jnp.mean((refined != true).astype(jnp.float32)))
+    assert err_before > 0.08
+    assert err_after < err_before * 0.3, f"{err_before} -> {err_after}"
+
+
+def test_stego_interface_with_crf():
+    si = StegoInterface(key=jax.random.PRNGKey(0), input_size=16, n_image_clusters=4,
+                        attention_impl="xla", run_crf=True)
+    img = _toy_image(16, 16)
+    code, cluster = si.inference(img)
+    assert cluster.shape == (1, 16, 16)
+    assert int(jnp.max(cluster)) < 4

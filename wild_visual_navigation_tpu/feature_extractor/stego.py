@@ -36,8 +36,7 @@ class StegoInterface:
         attention_impl: Optional[str] = None,
         dtype=jnp.bfloat16,
     ):
-        if run_crf:
-            raise NotImplementedError("CRF post-processing is not supported (reference default is off)")
+        self._run_crf = run_crf
         if attention_impl is None:
             attention_impl = "xla"  # see dino._default_attention_impl
         self._input_size = input_size
@@ -116,6 +115,22 @@ class StegoInterface:
             n_clusters=self._n_image_clusters,
             run_clustering=self._run_clustering,
         )
+        if self._run_crf:
+            # Mean-field CRF refinement of both segmentations against
+            # the (resized, square-cropped) guide image — the reference's
+            # run_crf option (stego_interface.py:31-39).
+            from ..ops.crf import crf_refine_labels
+            from ..ops.resize import center_crop, resize_smaller_edge_nearest
+
+            guide_full = center_crop(resize_smaller_edge_nearest(img, H), H)
+
+            def refine(pred, n_cls):
+                return jnp.stack([
+                    crf_refine_labels(pred[b], guide_full[b], n_cls) for b in range(pred.shape[0])
+                ])
+
+            cluster = refine(cluster, self._n_image_clusters if self._run_clustering else 27)
+            linear = refine(linear, 27)
         self._features = code
         self._cluster_segments = cluster
         self._linear_segments = linear
