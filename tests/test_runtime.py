@@ -131,3 +131,49 @@ def test_runtime_checkpoint_services(tmp_path):
     assert rt2.estimator.step == step0
     rt2.pause_learning(True)
     assert rt2.learning_step().loss_total == -1.0 or rt2.estimator.pause_learning
+
+
+def test_runtime_multi_camera_scheduling():
+    """Two cameras arbitrated by the weighted scheduler; both feed the
+    same mission graph (BASELINE config 5's multi-camera axis)."""
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=48, network_input_image_width=48,
+        segmentation_type="grid", feature_type="sift", prediction_per_pixel=False,
+        image_callback_rate=1000.0,
+        camera_topics={
+            "front": {"use_for_training": True, "scheduler_weight": 2},
+            "rear": {"use_for_training": False, "scheduler_weight": 1},
+        },
+    )
+    ln = LearningNodeParams(
+        network_input_image_height=48, network_input_image_width=48,
+        image_graph_dist_thr=0.01, supervision_graph_dist_thr=0.02,
+        min_samples_for_training=3, supervision_callback_rate=1000.0,
+        robot_width=0.5, robot_length=0.5,
+    )
+    exp = ExperimentParams()
+    exp.model.simple_mlp_cfg.hidden_sizes = [16, 1]
+    rt = WVNRuntime(fe_params=fe, ln_params=ln, exp_params=exp, key=jax.random.PRNGKey(0),
+                    buffer_capacity=32, reprojection_fanout=8)
+
+    import numpy as np
+
+    K = np.array([[30.0, 0, 24], [0, 30.0, 24], [0, 0, 1]])
+    cam_in_base = np.eye(4)
+    cam_in_base[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]])
+    cam_in_base[:3, 3] = [0, 0, 2.0]
+    rng = np.random.RandomState(0)
+    processed = {"front": 0, "rear": 0}
+    for i in range(30):
+        pose = np.eye(4)
+        pose[0, 3] = i * 0.05
+        for cam in ("front", "rear"):
+            img = rng.rand(3, 48, 48).astype(np.float32)
+            res = rt.image_callback(img, i * 0.1, cam, K, 48, 48, pose, cam_in_base)
+            if res is not None:
+                processed[cam] += 1
+    # weighted round robin: front gets ~2x rear's frames
+    assert processed["front"] > processed["rear"] >= 5
+    # rear frames (use_for_training=False) never enter the mission graph
+    cams = {n.camera_name for n in rt.estimator.get_mission_nodes()}
+    assert cams == {"front"}

@@ -65,3 +65,22 @@ def test_mission_logger(tmp_path):
     plot_path = lg.plot_learning_curves()
     assert plot_path and os.path.exists(plot_path)
     assert lg._img_count == 1
+
+
+def test_visualizer_extended():
+    from wild_visual_navigation_tpu.visu import LearningVisualizer
+
+    visu = LearningVisualizer()
+    img = np.random.RandomState(0).rand(3, 24, 24).astype(np.float32)
+    seg = (np.arange(24 * 24) % 5).reshape(24, 24)
+    out = visu.plot_detectron(img, seg, alpha=0.5)
+    assert out.shape == (24, 24, 3)
+
+    pts = np.array([[5.0, 5.0], [12.0, 18.0], [100.0, 100.0]])  # last out of bounds
+    out = visu.plot_graph_on_image(img, pts, values=np.array([0.1, 0.9, 0.5]))
+    assert out.shape == (24, 24, 3)
+
+    flow = np.array([[3.0, 0.0], [0.0, -4.0], [1.0, 1.0]])
+    out = visu.plot_optical_flow(img, pts, flow, valid=np.array([True, True, False]))
+    assert out.shape == (24, 24, 3)
+    assert np.isfinite(out).all()

@@ -123,6 +123,58 @@ class LearningVisualizer:
             panels.append(colormap_rdylbu(np.asarray(confidence)))
         return self.plot_list(panels, tag=tag)
 
+    def plot_detectron(self, img: np.ndarray, seg: np.ndarray, alpha: float = 0.5,
+                       max_seg: Optional[int] = None, tag: str = "detectron") -> np.ndarray:
+        """Segmentation overlay with random stable colors (reference
+        plot_detectron, visualizer.py:313-366 — the detectron2-style
+        label overlay, minus per-label text)."""
+        base = _to_hwc(img)
+        seg_rgb = self.plot_segmentation(seg, max_seg=max_seg, tag="_tmp_seg")
+        out = base * (1 - alpha) + seg_rgb * alpha
+        return self._maybe_store(np.clip(out, 0, 1), tag)
+
+    def plot_graph_on_image(self, img: np.ndarray, points_2d: np.ndarray,
+                            values: Optional[np.ndarray] = None, radius: int = 2,
+                            tag: str = "graph") -> np.ndarray:
+        """Render projected graph/trajectory points onto the image
+        (reference graph-on-image rendering, visualizer.py:251-309):
+        each (x, y) point is drawn as a colormapped dot."""
+        out = _to_hwc(img).copy()
+        H, W, _ = out.shape
+        pts = np.asarray(points_2d)
+        vals = np.asarray(values) if values is not None else np.ones(len(pts))
+        colors = colormap_rdylbu(vals)
+        for (x, y), c in zip(pts, colors):
+            xi, yi = int(round(float(x))), int(round(float(y)))
+            if not (0 <= xi < W and 0 <= yi < H):
+                continue
+            y0, y1 = max(0, yi - radius), min(H, yi + radius + 1)
+            x0, x1 = max(0, xi - radius), min(W, xi + radius + 1)
+            out[y0:y1, x0:x1] = c
+        return self._maybe_store(out, tag)
+
+    def plot_optical_flow(self, img: np.ndarray, points: np.ndarray, flow: np.ndarray,
+                          valid: Optional[np.ndarray] = None, tag: str = "flow") -> np.ndarray:
+        """Sparse flow-field rendering (reference plot_optical_flow,
+        visualizer.py:541-614): line segments from each point along its
+        flow vector, colored by magnitude."""
+        out = _to_hwc(img).copy()
+        H, W, _ = out.shape
+        pts, fl = np.asarray(points), np.asarray(flow)
+        v = np.ones(len(pts), bool) if valid is None else np.asarray(valid)
+        mags = np.linalg.norm(fl, axis=-1)
+        maxm = max(float(mags.max()), 1e-6)
+        colors = colormap_rdylbu(1.0 - mags / maxm)
+        for (x, y), (dx, dy), ok, c in zip(pts, fl, v, colors):
+            if not ok:
+                continue
+            n = max(int(np.hypot(dx, dy)), 1)
+            for t in np.linspace(0, 1, n + 1):
+                xi, yi = int(round(x + t * dx)), int(round(y + t * dy))
+                if 0 <= xi < W and 0 <= yi < H:
+                    out[yi, xi] = c
+        return self._maybe_store(out, tag)
+
     def plot_learning_curve(self, steps, losses, tag: str = "learning_curve") -> Optional[np.ndarray]:
         """Loss-vs-step plot via matplotlib (offline/debug path)."""
         import matplotlib
