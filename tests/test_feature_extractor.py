@@ -234,3 +234,32 @@ def test_stego_interface_with_crf():
     code, cluster = si.inference(img)
     assert cluster.shape == (1, 16, 16)
     assert int(jnp.max(cluster)) < 4
+
+
+def test_runtime_with_stego_features():
+    """feature_type='stego' through the composed (non-fused) runtime
+    path: segmentation + features from the STEGO interface."""
+    from wild_visual_navigation_tpu.cfg import ExperimentParams, FeatureExtractorNodeParams, LearningNodeParams
+    from wild_visual_navigation_tpu.runtime import WVNRuntime
+
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=16, network_input_image_width=16,
+        segmentation_type="stego", feature_type="stego", prediction_per_pixel=False,
+        image_callback_rate=1000.0,
+    )
+    ln = LearningNodeParams(network_input_image_height=16, network_input_image_width=16,
+                            image_graph_dist_thr=0.01, min_samples_for_training=2)
+    exp = ExperimentParams()
+    exp.model.simple_mlp_cfg.hidden_sizes = [8, 1]
+    rt = WVNRuntime(fe_params=fe, ln_params=ln, exp_params=exp, key=jax.random.PRNGKey(0),
+                    buffer_capacity=8, reprojection_fanout=4)
+    assert rt._fused_frame is None  # composed path
+    img = _toy_image(16, 16)[0]
+    pose = np.asarray(jnp.eye(4))
+    cam_in_base = np.eye(4)
+    cam_in_base[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]])
+    K = np.array([[10.0, 0, 8], [0, 10.0, 8], [0, 0, 1]])
+    res = rt.image_callback(np.asarray(img), 0.0, "front", K, 16, 16, pose, cam_in_base)
+    assert res is not None
+    assert res.traversability.shape == (16, 16)
+    assert rt.estimator._mission_graph.get_num_nodes() == 1

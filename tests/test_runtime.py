@@ -177,3 +177,17 @@ def test_runtime_multi_camera_scheduling():
     # rear frames (use_for_training=False) never enter the mission graph
     cams = {n.camera_name for n in rt.estimator.get_mission_nodes()}
     assert cams == {"front"}
+
+
+def test_sequence_save_load_roundtrip(tmp_path):
+    from wild_visual_navigation_tpu.runtime import load_sequence, save_sequence
+
+    seq = synthetic_sequence(duration=1.0, frame_rate=3.0, state_rate=3.0, image_size=32, seed=4)
+    path = str(tmp_path / "seq.npz")
+    save_sequence(seq, path)
+    seq2 = load_sequence(path)
+    assert len(seq2.frames) == len(seq.frames)
+    assert len(seq2.states) == len(seq.states)
+    np.testing.assert_allclose(seq2.frames[0].image, seq.frames[0].image)
+    np.testing.assert_allclose(seq2.states[-1].current_twist, seq.states[-1].current_twist)
+    assert seq2.frames[0].camera == "front"

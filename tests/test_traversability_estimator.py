@@ -313,3 +313,28 @@ def test_twist_dataset_alignment():
     ts, cur, des = ds[0]
     assert ts.shape == (4, 1) and cur.shape == (4, 6) and des.shape == (4, 6)
     assert np.all(np.diff(ts[:, 0]) >= 0)
+
+
+def test_supervision_generator_pose_prediction_mode():
+    """update_pose_prediction integrates desired twists via SE(3) exp
+    (reference supervision_generator.py:130-170)."""
+    sg = SupervisionGenerator(sigmoid_slope=10, sigmoid_cutoff=0.2, untraversable_thr=0.05,
+                              time_horizon=1.0, graph_max_length=5.0)
+    # perfect: robot follows its desired twist exactly
+    for i in range(10):
+        t = i * 0.1
+        pose = _pose(t * 1.0)  # moving 1 m/s in +x
+        trav, var, untrav = sg.update_pose_prediction(
+            t, pose, np.array([1.0, 0, 0, 0, 0, 0]), np.array([1.0, 0, 0, 0, 0, 0]), velocities=["vx", "vy"]
+        )
+    assert trav > 0.8 and not untrav
+    # failure: commanded to move but the pose never changes
+    sg2 = SupervisionGenerator(sigmoid_slope=10, sigmoid_cutoff=0.2, untraversable_thr=0.05,
+                               time_horizon=1.0, graph_max_length=5.0)
+    for i in range(10):
+        t = i * 0.1
+        trav, var, untrav = sg2.update_pose_prediction(
+            t + 100.0, _pose(0.0), np.array([0.0, 0, 0, 0, 0, 0]), np.array([2.0, 0, 0, 0, 0, 0]),
+            velocities=["vx", "vy"],
+        )
+    assert trav < 0.3

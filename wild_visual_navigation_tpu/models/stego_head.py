@@ -71,8 +71,10 @@ def cosine_kmeans(code: jnp.ndarray, key: jax.Array, n_clusters: int = 20, itera
     N, D = code.shape
     x = code / (jnp.linalg.norm(code, axis=-1, keepdims=True) + 1e-8)
 
-    # Init: random distinct points.
-    idx = jax.random.choice(key, N, shape=(n_clusters,), replace=False)
+    # Init: random distinct points (with replacement when the cluster
+    # count exceeds the token count — tiny inputs; surplus clusters
+    # collapse and stay empty).
+    idx = jax.random.choice(key, N, shape=(n_clusters,), replace=n_clusters > N)
     centers = x[idx]
 
     def body(_, centers):

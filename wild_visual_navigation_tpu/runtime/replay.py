@@ -131,6 +131,43 @@ def synthetic_sequence(
     return seq
 
 
+def save_sequence(seq: Sequence, path: str) -> str:
+    """Persist a sequence as one npz — the framework's 'rosbag': record
+    once (from a robot shim or the synthetic generator), replay
+    deterministically forever."""
+    np.savez_compressed(
+        path,
+        frame_stamps=np.array([f.stamp for f in seq.frames]),
+        frame_cameras=np.array([f.camera for f in seq.frames]),
+        frame_images=np.stack([f.image for f in seq.frames]) if seq.frames else np.zeros((0,)),
+        frame_K=np.stack([f.K for f in seq.frames]) if seq.frames else np.zeros((0,)),
+        frame_pose=np.stack([f.pose_base_in_world for f in seq.frames]) if seq.frames else np.zeros((0,)),
+        frame_cam_in_base=np.stack([f.pose_cam_in_base for f in seq.frames]) if seq.frames else np.zeros((0,)),
+        state_stamps=np.array([s.stamp for s in seq.states]),
+        state_pose=np.stack([s.pose_base_in_world for s in seq.states]) if seq.states else np.zeros((0,)),
+        state_twist=np.stack([s.current_twist for s in seq.states]) if seq.states else np.zeros((0,)),
+        state_desired=np.stack([s.desired_twist for s in seq.states]) if seq.states else np.zeros((0,)),
+    )
+    return path
+
+
+def load_sequence(path: str) -> Sequence:
+    d = np.load(path, allow_pickle=False)
+    seq = Sequence()
+    for i in range(len(d["frame_stamps"])):
+        seq.frames.append(CameraFrame(
+            stamp=float(d["frame_stamps"][i]), camera=str(d["frame_cameras"][i]),
+            image=d["frame_images"][i], K=d["frame_K"][i],
+            pose_base_in_world=d["frame_pose"][i], pose_cam_in_base=d["frame_cam_in_base"][i],
+        ))
+    for i in range(len(d["state_stamps"])):
+        seq.states.append(StateSample(
+            stamp=float(d["state_stamps"][i]), pose_base_in_world=d["state_pose"][i],
+            current_twist=d["state_twist"][i], desired_twist=d["state_desired"][i],
+        ))
+    return seq
+
+
 @dataclass
 class ReplayReport:
     frames_processed: int = 0
