@@ -64,7 +64,6 @@ def main():
     from wild_visual_navigation_tpu.utils import (
         ConfidenceConfig,
         confidence_init,
-        confidence_load_state_dict,
         reconstruction_confidence,
     )
     from wild_visual_navigation_tpu.visu import LearningVisualizer

@@ -9,7 +9,6 @@ are not yet implemented (ResNet-18/50 cover the ablation use)."""
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -13,8 +13,6 @@ ops/segment_ops.segment_pyramid_pool.
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ the whole flow is a pure function of (params, x) — no buffers.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -12,15 +12,13 @@ cocostuff checkpoint the reference loads), plus
     stego_interface.py:31-39, n_image_clusters=20) as jittable Lloyd
     iterations with cosine distance — replacing the reference's CPU
     sklearn-style clustering.
-CRF post-processing is not implemented (reference default run_crf=False,
-feature_extractor.py:52).
+CRF post-processing lives in ops/crf.py (mean-field ConvCRF) and is
+wired through StegoInterface(run_crf=True).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

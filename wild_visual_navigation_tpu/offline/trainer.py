@@ -22,7 +22,7 @@ import optax
 from flax import serialization
 
 from ..models import get_model
-from ..utils.confidence_generator import ConfidenceConfig, confidence_init
+from ..utils.confidence_generator import confidence_init
 from ..utils.data import TravBatch
 from ..utils.loss import TraversabilityLossConfig, traversability_loss
 from .dataset import GraphTravDataset

@@ -23,8 +23,6 @@ from __future__ import annotations
 
 import os
 import pickle
-import threading
-import time
 from typing import Callable, Dict, Optional
 
 import jax
@@ -43,7 +41,6 @@ from ..utils.confidence_generator import (
     confidence_inference,
     confidence_load_state_dict,
 )
-from ..utils.operation_modes import WVNMode
 from .msgs import ImageFeatures, SystemStateMsg
 from .runtime import WVNRuntime
 from .scheduler import Scheduler

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import threading
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Dict, Optional
 
@@ -41,7 +41,6 @@ from ..ops.resize import resize_image
 from ..supervision import SupervisionGenerator
 from ..traversability import MissionNode, SupervisionNode, TraversabilityEstimator
 from ..utils.confidence_generator import confidence_inference
-from ..utils.operation_modes import WVNMode
 from .scheduler import Scheduler
 
 

@@ -13,9 +13,8 @@ import os
 import socket
 import struct
 import threading
-from typing import Callable, List, Optional
+from typing import List, Optional
 
-from .native_ipc import RingBuffer
 
 _HDR = struct.Struct("<I")
 

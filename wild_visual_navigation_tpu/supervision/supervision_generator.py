@@ -19,7 +19,7 @@ from typing import List, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.kalman_filter import KalmanFilterParams, KalmanState, kf_step
+from ..utils.kalman_filter import KalmanFilterParams, KalmanState
 from ..utils.lie import se3_exp
 from ..traversability.graphs import DistanceWindowGraph
 from ..traversability.nodes import TwistNode, se3_log_translation_np, _so3_log_np

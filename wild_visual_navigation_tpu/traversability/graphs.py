@@ -18,9 +18,7 @@ import random
 import threading
 from typing import List, Optional
 
-import numpy as np
-
-from .nodes import BaseNode, pose_distance_np
+from .nodes import BaseNode
 
 
 class BaseGraph:

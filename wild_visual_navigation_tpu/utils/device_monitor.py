@@ -15,8 +15,6 @@ import os
 import time
 from collections import defaultdict
 from functools import wraps
-from typing import Optional
-
 import jax
 
 

@@ -11,7 +11,7 @@ kalman_filter.py:110-127) is branch-free via `jnp.where`.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
 import jax

@@ -26,7 +26,6 @@ import os
 import time
 from collections import defaultdict
 from functools import wraps
-from typing import Optional
 
 import numpy as np
 
