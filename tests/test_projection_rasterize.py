@@ -117,3 +117,29 @@ def test_rasterize_jit_and_grad_safe():
 
     out = f(pose, pts)
     assert out.shape == (4, 120, 160)
+
+
+def test_pallas_fill_matches_scan():
+    """The Pallas fill kernel (interpret mode on CPU) must match the
+    lax.scan fallback exactly."""
+    from wild_visual_navigation_tpu.ops.rasterize import convex_hull, fill_convex_hull
+    from wild_visual_navigation_tpu.ops.rasterize_pallas import fill_hulls_pallas
+
+    key = jax.random.PRNGKey(0)
+    B, N, H, W = 3, 24, 48, 56
+    pts = jax.random.uniform(key, (B, N, 2)) * jnp.asarray([W, H]) * 1.2 - 5.0
+    valid = jax.random.uniform(jax.random.fold_in(key, 1), (B, N)) < 0.8
+
+    hulls, hvs = jax.vmap(lambda p, v: convex_hull(p, v, max_hull=16))(pts, valid)
+    ref = jax.vmap(lambda h, v: fill_convex_hull(h, v, H, W))(hulls, hvs)
+    out = fill_hulls_pallas(hulls, hvs, H, W, block_h=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pallas_fill_degenerate_and_invalid():
+    from wild_visual_navigation_tpu.ops.rasterize_pallas import fill_hulls_pallas
+
+    hulls = jnp.zeros((2, 8, 2))
+    hv = jnp.zeros((2, 8), bool)
+    out = fill_hulls_pallas(hulls, hv, 16, 16, block_h=8, interpret=True)
+    assert int(jnp.sum(out)) == 0
