@@ -57,7 +57,7 @@ def test_full_product_loop(tmp_path):
     D = train.features.shape[-1]
     trainer = OfflineTrainer(OfflineTrainerConfig(
         model_cfg={"name": "SimpleMLP", "simple_mlp_cfg": {"input_size": D, "hidden_sizes": [16, 1], "reconstruction": True}},
-        epochs=30, batch_size=4, output_folder=str(tmp_path / "out"),
+        epochs=80, lr=3e-3, batch_size=4, output_folder=str(tmp_path / "out"),
     ))
     trainer.fit(train)
     ckpt = trainer.save(str(tmp_path / "out"), "offline.ckpt")

@@ -91,6 +91,7 @@ class FeatureExtractorNodeParams:
     dino_patch_size: int = 8
     dino_backbone: str = "vit_small"
     slic_num_components: int = 100
+    grid_cell_size: int = 32  # grid-segmentation cell edge (this framework)
 
     confidence_std_factor: float = 0.7
 

@@ -105,6 +105,7 @@ class FeatureExtractorNode:
             patch_size=p.dino_patch_size,
             backbone_type=p.dino_backbone,
             slic_num_components=p.slic_num_components,
+            cell_size=p.grid_cell_size,
             backbone_params=backbone_params,
         )
         D = self.feature_extractor.feature_dim

@@ -74,39 +74,81 @@ def synthetic_sequence(
     tex = _ground_texture(rng)
     H = W = image_size
     K = np.array([[0.6 * W, 0, W / 2], [0, 0.6 * W, H / 2], [0, 0, 1.0]])
-    # camera 1.2m up, pitched down 45 deg, looking forward (+x)
+    # camera 1.2m up, pitched down 45 deg, looking forward (+x):
+    # columns are the camera axes in the base frame —
+    # x_cam (image right) = -y_base, y_cam (image down) = backward-down,
+    # z_cam (optical axis) = forward-down.
     pitch = np.deg2rad(45)
+    s, c = np.sin(pitch), np.cos(pitch)
     R_pitch = np.array(
         [
-            [0, -np.sin(pitch), np.cos(pitch)],
-            [-1, 0, 0],
-            [0, -np.cos(pitch), -np.sin(pitch)],
+            [0.0, -s, c],
+            [-1.0, 0.0, 0.0],
+            [0.0, -c, -s],
         ]
-    ).T
+    )
     pose_cam_in_base = np.eye(4)
     pose_cam_in_base[:3, :3] = R_pitch
     pose_cam_in_base[:3, 3] = [0.3, 0.0, 1.2]
 
+    # Precompute the pinhole ground-plane ray cast once (poses only
+    # translate along x, so pixel->ground offsets are constant).
+    Kinv = np.linalg.inv(K)
+    uu, vv = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+    pix = np.stack([uu, vv, np.ones_like(uu)], axis=-1).reshape(-1, 3)
+    dirs_cam = (Kinv @ pix.T).T
+    R_wc = pose_cam_in_base[:3, :3]
+    cam_origin = pose_cam_in_base[:3, 3]
+    dirs_world = (R_wc @ dirs_cam.T).T
+    dz = dirs_world[:, 2]
+    t_hit = np.where(np.abs(dz) > 1e-6, -cam_origin[2] / np.where(np.abs(dz) < 1e-6, 1.0, dz), -1.0)
+    ground = (t_hit > 0) & (t_hit < 30)
+    offs_xy = cam_origin[None, :2] + t_hit[:, None] * dirs_world[:, :2]  # base-frame ground hits
+
     def render(x_pos: float) -> np.ndarray:
-        """Fake perspective render: sample the texture along the ground
-        ahead of the robot (rows = depth, cols = lateral)."""
-        img = np.zeros((3, H, W), dtype=np.float32)
-        depths = 0.8 + 4.0 * (np.arange(H)[::-1] / H) ** 1.5
-        for r, d in enumerate(depths):
-            wx = x_pos + d
-            half = 0.9 * d
-            wys = np.linspace(-half, half, W)
-            ti = (np.abs(wx * 24) % tex.shape[1]).astype(int)
-            tj = (np.abs((wys + 100) * 24) % tex.shape[2]).astype(int)
-            img[:, r, :] = tex[:, ti, tj]
-        return np.clip(img, 0, 1)
+        """True pinhole render of the textured ground plane — the SAME
+        camera geometry the supervision reprojection uses, so the
+        obstacle band's appearance and its labels coincide exactly. The
+        band (when configured) is a distinct dark-red surface; rays that
+        miss the ground render as sky."""
+        wx = offs_xy[:, 0] + x_pos
+        wy = offs_xy[:, 1]
+        ti = (np.abs(wx * 24) % tex.shape[1]).astype(int)
+        tj = (np.abs((wy + 100) * 24) % tex.shape[2]).astype(int)
+        cols = tex[:, ti, tj]  # (3, P)
+        if obstacle_x is not None:
+            in_band = np.abs(wx - obstacle_x) < 0.5
+            cols = np.where(in_band[None, :], np.array([0.55, 0.08, 0.08], np.float32)[:, None], cols)
+        sky = np.array([0.65, 0.8, 0.95], np.float32)[:, None]
+        cols = np.where(ground[None, :], cols, sky)
+        return np.clip(cols.reshape(3, H, W), 0, 1).astype(np.float32)
+
+    # Trajectory: commanded 1 m/s; inside the obstacle band the robot
+    # only makes 0.15 m/s (grinding through) — a sustained velocity
+    # tracking failure, which is what the supervision KF is tuned for.
+    def speed_at(x: float) -> float:
+        if obstacle_x is not None and abs(x - obstacle_x) < 0.5:
+            return 0.15
+        return 1.0
+
+    tick = 1.0 / max(frame_rate, state_rate) / 4.0
+    xs_of_t = {}
+    x = 0.0
+    t = 0.0
+    while t <= duration + tick:
+        xs_of_t[round(t / tick)] = x
+        x += speed_at(x) * tick
+        t += tick
+
+    def x_at(t: float) -> float:
+        return xs_of_t[min(round(t / tick), max(xs_of_t))]
 
     seq = Sequence()
     base = np.eye(4)
     n_frames = int(duration * frame_rate)
     for i in range(n_frames):
         t = i / frame_rate
-        x = t * 1.0
+        x = x_at(t)
         pose = base.copy()
         pose[0, 3] = x
         seq.frames.append(
@@ -118,13 +160,11 @@ def synthetic_sequence(
     n_states = int(duration * state_rate)
     for i in range(n_states):
         t = i / state_rate
-        x = t * 1.0
+        x = x_at(t)
         pose = base.copy()
         pose[0, 3] = x
         desired = np.array([1.0, 0, 0, 0, 0, 0])
-        current = desired + rng.randn(6) * 0.03
-        if obstacle_x is not None and abs(x - obstacle_x) < 0.5:
-            current = desired * 0.1  # robot stuck -> tracking failure
+        current = desired * speed_at(x) + rng.randn(6) * 0.03
         seq.states.append(
             StateSample(stamp=t + 0.01, pose_base_in_world=pose, current_twist=current, desired_twist=desired)
         )

@@ -118,6 +118,7 @@ class WVNRuntime:
             patch_size=fp.dino_patch_size,
             backbone_type=fp.dino_backbone,
             slic_num_components=fp.slic_num_components,
+            cell_size=fp.grid_cell_size,
             backbone_params=backbone_params,
         )
         self._S = self.feature_extractor.num_segments(self._H, self._W)

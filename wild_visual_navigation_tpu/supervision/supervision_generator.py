@@ -5,6 +5,8 @@ Re-design of the reference SupervisionGenerator
 traversability = sigmoid(-slope * (KF(velocity tracking error) - cutoff)),
 with a velocity-component selection matrix and an alternative
 pose-prediction-error mode integrating desired twists over a horizon.
+Defaults follow the reference's production node construction
+(wvn_learning_node.py:95-106), not its offline demo.
 
 The KF update is a tiny jittable function; at 10 Hz host-dispatch cost
 dominates anyway, so `update_velocity_tracking` also accepts numpy and
@@ -37,11 +39,11 @@ class SupervisionGenerator:
     def __init__(
         self,
         kf_process_cov: float = 0.1,
-        kf_meas_cov: float = 1000.0,
+        kf_meas_cov: float = 10.0,
         kf_outlier_rejection: str = "huber",
         kf_outlier_rejection_delta: float = 0.5,
-        sigmoid_slope: float = 30.0,
-        sigmoid_cutoff: float = 0.2,
+        sigmoid_slope: float = 20.0,
+        sigmoid_cutoff: float = 0.25,
         untraversable_thr: float = 0.05,
         time_horizon: float = 0.05,
         graph_max_length: float = 1.0,
