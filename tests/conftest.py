@@ -24,6 +24,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent XLA compilation cache: repeated test sessions (and the
+# driver's repeated suite runs) skip recompilation of unchanged
+# programs — the suite is compile-dominated on CPU.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

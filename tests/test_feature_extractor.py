@@ -198,8 +198,24 @@ def test_facade_dino_tiny():
     assert bool(jnp.all(jnp.isfinite(ex.features)))
 
 
+_STEGO_CACHE = {}
+
+
+def _stego_interface(**kw):
+    """StegoInterface with a shared ViT-B/8 backbone init across tests
+    (the init dominates test time)."""
+    if "params" not in _STEGO_CACHE:
+        si = StegoInterface(key=jax.random.PRNGKey(0), input_size=16, n_image_clusters=4,
+                            attention_impl="xla", **kw)
+        _STEGO_CACHE["params"] = (si.backbone_params, si.head_params)
+        return si
+    bp, hp = _STEGO_CACHE["params"]
+    return StegoInterface(key=jax.random.PRNGKey(0), input_size=16, n_image_clusters=4,
+                          attention_impl="xla", backbone_params=bp, head_params=hp, **kw)
+
+
 def test_stego_interface_tiny():
-    si = StegoInterface(key=jax.random.PRNGKey(0), input_size=16, n_image_clusters=4, attention_impl="xla")
+    si = _stego_interface()
     img = _toy_image(16, 16)
     code, cluster = si.inference(img)
     assert code.shape == (1, 90, 16, 16)
@@ -228,8 +244,7 @@ def test_crf_smooths_noisy_labels():
 
 
 def test_stego_interface_with_crf():
-    si = StegoInterface(key=jax.random.PRNGKey(0), input_size=16, n_image_clusters=4,
-                        attention_impl="xla", run_crf=True)
+    si = _stego_interface(run_crf=True)
     img = _toy_image(16, 16)
     code, cluster = si.inference(img)
     assert cluster.shape == (1, 16, 16)

@@ -86,3 +86,41 @@ def test_closed_navigation_loop():
     r, c = cell
     # goal must be on the traversable (positive-sdf) side
     assert np.asarray(sdf)[r, c] > 0
+
+
+def test_runtime_gridmap_and_carrot():
+    """The grid map accumulates from runtime inference and yields a
+    carrot goal ahead of the robot."""
+    import jax
+
+    from wild_visual_navigation_tpu.cfg import (
+        ExperimentParams,
+        FeatureExtractorNodeParams,
+        LearningNodeParams,
+    )
+    from wild_visual_navigation_tpu.runtime import WVNRuntime, run_replay, synthetic_sequence
+
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=48, network_input_image_width=48,
+        segmentation_type="grid", feature_type="sift", prediction_per_pixel=False,
+        image_callback_rate=1000.0, grid_cell_size=16,
+    )
+    ln = LearningNodeParams(
+        network_input_image_height=48, network_input_image_width=48,
+        image_graph_dist_thr=0.05, supervision_graph_dist_thr=0.02,
+        min_samples_for_training=3, supervision_callback_rate=1000.0,
+        robot_width=0.5, robot_length=0.5,
+    )
+    exp = ExperimentParams()
+    exp.model.simple_mlp_cfg.hidden_sizes = [16, 1]
+    rt = WVNRuntime(fe_params=fe, ln_params=ln, exp_params=exp, key=jax.random.PRNGKey(0),
+                    buffer_capacity=32, reprojection_fanout=8,
+                    gridmap_size=32, gridmap_resolution=0.25)
+    seq = synthetic_sequence(duration=4.0, frame_rate=5.0, state_rate=5.0, image_size=48, seed=0)
+    run_replay(rt, seq)
+    assert rt.gridmap is not None
+    assert int(np.asarray(rt.gridmap.valid).sum()) > 20
+    goal, score = rt.get_carrot(yaw=0.0)
+    # grid is centered on the robot (x ~ 4.0 at the end); goal ahead-ish
+    if goal is not None:
+        assert abs(goal[0] - 4.0) < 5.0

@@ -195,13 +195,13 @@ def test_efficientnet_pyramid():
     )
 
     model = make_efficientnet("efficientnet_b0")
-    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 64, 64))
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 32, 32))
     params = model.init(jax.random.PRNGKey(1), img)
     pyr = model.apply(params, img)
-    assert pyr["layer1"].shape == (1, 24, 16, 16)
-    assert pyr["layer2"].shape == (1, 40, 8, 8)
-    assert pyr["layer3"].shape == (1, 112, 4, 4)
-    assert pyr["layer4"].shape == (1, 320, 2, 2)
+    assert pyr["layer1"].shape == (1, 24, 8, 8)
+    assert pyr["layer2"].shape == (1, 40, 4, 4)
+    assert pyr["layer3"].shape == (1, 112, 2, 2)
+    assert pyr["layer4"].shape == (1, 320, 1, 1)
     assert efficientnet_pyramid_dim("efficientnet_b0") == 24 + 40 + 112 + 320
     assert np.isfinite(np.asarray(pyr["layer4"])).all()
 

@@ -107,6 +107,34 @@ def project_traversability_to_grid(
     return grid._replace(value_sum=value_sum, weight=weight)
 
 
+@jax.jit
+def gridmap_recenter(grid: GridMap, new_center_xy: jnp.ndarray) -> GridMap:
+    """Shift the grid so `new_center_xy` is at its center (robot-centric
+    rolling map, like elevation_mapping's moving grid). Cells shifted in
+    from outside are cleared; the shift snaps to whole cells so world
+    anchoring stays exact."""
+    G = grid.weight.shape[0]
+    half = G * grid.resolution / 2.0
+    new_origin_target = jnp.asarray(new_center_xy, jnp.float32) - half
+    shift_cells = jnp.round((new_origin_target - grid.origin_xy) / grid.resolution).astype(jnp.int32)
+    new_origin = grid.origin_xy + shift_cells.astype(jnp.float32) * grid.resolution
+
+    def shift2d(a, fill):
+        # shift content by -shift_cells (origin moves +, content moves -)
+        sx, sy = shift_cells[0], shift_cells[1]
+        rolled = jnp.roll(jnp.roll(a, -sy, axis=0), -sx, axis=1)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+        valid = (ys + sy >= 0) & (ys + sy < G) & (xs + sx >= 0) & (xs + sx < G)
+        return jnp.where(valid, rolled, fill)
+
+    return grid._replace(
+        value_sum=shift2d(grid.value_sum, 0.0),
+        weight=shift2d(grid.weight, 0.0),
+        origin_xy=new_origin,
+    )
+
+
 @partial(jax.jit, static_argnames=("iterations",))
 def traversability_sdf(
     trav: jnp.ndarray,

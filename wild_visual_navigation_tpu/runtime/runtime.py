@@ -98,6 +98,8 @@ class WVNRuntime:
         reprojection_fanout: int = 32,
         backbone_params=None,
         use_fused: bool = True,
+        gridmap_size: int = 0,
+        gridmap_resolution: float = 0.1,
     ):
         self.fe_params = fe_params or FeatureExtractorNodeParams()
         self.ln_params = ln_params or LearningNodeParams()
@@ -168,6 +170,16 @@ class WVNRuntime:
         self._inference_params = self.estimator.params
         self._inference_cg = self.estimator.confidence_state
         self._last_swap_step = -1
+
+        # --- optional rolling traversability grid map (the consumer-side
+        # fusion elevation_mapping_cupy performs for the reference;
+        # feeds scripts/smart_carrot for local goal selection)
+        self.gridmap = None
+        self._gridmap_resolution = gridmap_resolution
+        if gridmap_size > 0:
+            from ..ops.gridmap import gridmap_init
+
+            self.gridmap = gridmap_init(size=gridmap_size, resolution=gridmap_resolution)
 
         self.system_state = SystemState()
         self.anomaly_detection = anomaly_detection
@@ -325,6 +337,9 @@ class WVNRuntime:
                 self.estimator.commit_buffer(new_buf)
             else:
                 fr = self._fused_frame(self._vit_params, params, cg, img)
+            if self.gridmap is not None:
+                self._update_gridmap(fr.traversability, fr.confidence, K_scaled,
+                                     node.pose_cam_in_world, node.pose_base_in_world)
             return InferenceResult(
                 traversability=fr.traversability,
                 confidence=fr.confidence,
@@ -360,6 +375,8 @@ class WVNRuntime:
         )
         if ex_features is not None and ex_features.shape[0] == self._S:
             self.estimator.add_mission_node(node, ex_features, ex_feat_valid, ex_segments, K_scaled)
+        if self.gridmap is not None and conf is not None:
+            self._update_gridmap(trav, conf, K_scaled, node.pose_cam_in_world, node.pose_base_in_world)
 
         return InferenceResult(
             traversability=trav,
@@ -432,6 +449,33 @@ class WVNRuntime:
             self.hot_swap()
             self._last_swap_step = self.estimator.step
         return st
+
+    def _update_gridmap(self, trav, conf, K_scaled, pose_cam_in_world, pose_base_in_world):
+        from ..ops.gridmap import gridmap_recenter, project_traversability_to_grid
+
+        grid = gridmap_recenter(self.gridmap, jnp.asarray(pose_base_in_world[:2, 3], jnp.float32))
+        self.gridmap = project_traversability_to_grid(
+            grid, trav, jnp.asarray(K_scaled, jnp.float32),
+            jnp.asarray(pose_cam_in_world, jnp.float32), confidence=conf,
+        )
+
+    def get_carrot(self, yaw: float = 0.0):
+        """Local goal from the fused grid map (smart_carrot consumer):
+        returns ((world_x, world_y), score_map) or (None, None)."""
+        if self.gridmap is None:
+            return None, None
+        from ..ops.gridmap import traversability_sdf
+        from ..scripts.smart_carrot import CarrotConfig, select_carrot
+
+        sdf = traversability_sdf(self.gridmap.traversability, self.gridmap.valid,
+                                 resolution=self._gridmap_resolution)
+        cell, score = select_carrot(np.asarray(sdf), yaw=yaw, valid=np.asarray(self.gridmap.valid),
+                                    cfg=CarrotConfig())
+        if cell is None:
+            return None, score
+        origin = np.asarray(self.gridmap.origin_xy)
+        world = origin + (np.array([cell[1], cell[0]]) + 0.5) * self._gridmap_resolution
+        return (float(world[0]), float(world[1])), score
 
     def hot_swap(self):
         """Publish the learner's params to the inference mailbox —
