@@ -84,3 +84,33 @@ def test_visualizer_extended():
     out = visu.plot_optical_flow(img, pts, flow, valid=np.array([True, True, False]))
     assert out.shape == (24, 24, 3)
     assert np.isfinite(out).all()
+
+
+def test_carrot_follower_controller():
+    from wild_visual_navigation_tpu.scripts import FollowerConfig, follow_carrot
+
+    pose = np.eye(4)  # at origin, facing +x
+    # goal straight ahead -> forward, no turn
+    tw = follow_carrot(pose, (2.0, 0.0))
+    assert tw[0] > 0.5 and abs(tw[5]) < 1e-6
+    # goal to the left -> positive yaw rate, reduced speed
+    tw = follow_carrot(pose, (1.0, 1.0))
+    assert tw[5] > 0.3 and tw[0] < 0.8
+    # goal behind -> turn in place (cos gating stops forward motion)
+    tw = follow_carrot(pose, (-1.0, 0.1))
+    assert abs(tw[0]) < 1e-6 and abs(tw[5]) > 0.5
+    # within tolerance -> stop
+    tw = follow_carrot(pose, (0.05, 0.0))
+    assert np.allclose(tw, 0)
+    # no goal -> stop
+    assert np.allclose(follow_carrot(pose, None), 0)
+
+
+def test_yaml_config_files():
+    from wild_visual_navigation_tpu.cfg import FeatureExtractorNodeParams, LearningNodeParams
+    from wild_visual_navigation_tpu.utils.loading import dataclass_from_yaml
+
+    fe = dataclass_from_yaml(FeatureExtractorNodeParams(), "configs/default.yaml")
+    assert fe.segmentation_type == "slic" and fe.network_input_image_height == 224
+    ln = dataclass_from_yaml(LearningNodeParams(), "configs/learning_default.yaml")
+    assert ln.traversability_radius == 3.0 and ln.learning_thread_rate == 10.0

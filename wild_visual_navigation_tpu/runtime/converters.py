@@ -98,9 +98,15 @@ def anymal_state_to_robot_state(anymal_state: Dict) -> Dict:
         "vector_state": np.concatenate([pose, twist]),
         "states": {},
     }
-    for key in ("joint_position", "joint_velocity", "joint_acceleration", "joint_effort"):
-        if key in anymal_state:
-            out["states"][key] = np.asarray(anymal_state[key], dtype=np.float64)
+    for key, val in anymal_state.items():
+        if key in ("stamp", "pose", "twist"):
+            continue
+        arr = np.asarray(val, dtype=np.float64)
+        if arr.ndim >= 1:
+            # joint states, policy latents, etc. — the reference's
+            # with-latent converter variant forwards these as
+            # CustomStates too (anymal_msg_with_latent_converter_node.py)
+            out["states"][key] = arr
     return out
 
 
