@@ -8,10 +8,12 @@ real TPU. The reference design point is 10 images/sec/camera on an
 RTX-class GPU (default.yaml:39); `vs_baseline` is the ratio against
 that 10 img/s.
 
-Measurement method: N *distinct* pre-generated input batches, dispatch
-all, block on every output. Distinct inputs are load-bearing — the
-test environment's TPU relay deduplicates identical (program, args)
-executions, which silently inflates repeated-same-input loops.
+Measurement method (validated with a known-FLOP probe against this
+environment's TPU relay, whose block_until_ready can return before
+execution completes): distinct host-generated input batches, iterations
+chained through a data dependency, and the timing fenced by an actual
+value download at the end — the only operation the relay cannot fake.
+One relay round-trip (~25 ms) is amortized over all iterations.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
@@ -59,18 +61,23 @@ def main():
         out = mlp.apply(mp, flat)
         return out[:, 0].reshape(B, Hp, Wp)
 
-    # Distinct inputs (see module docstring).
+    # Distinct host-generated inputs (see module docstring).
+    import numpy as np
+
+    rng = np.random.RandomState(0)
     batches = [
-        jax.random.uniform(jax.random.fold_in(key, 100 + i), (BATCH, 3, SIZE, SIZE), dtype=jnp.float32)
-        for i in range(ITERS)
+        jax.device_put(rng.rand(BATCH, 3, SIZE, SIZE).astype(np.float32)) for _ in range(ITERS)
     ]
     jax.block_until_ready(batches)
 
-    pipeline(vit_params, mlp_params, batches[0]).block_until_ready()  # compile
+    float(pipeline(vit_params, mlp_params, batches[0])[0, 0, 0])  # compile + complete
 
     t0 = time.time()
-    outs = [pipeline(vit_params, mlp_params, b) for b in batches]
-    jax.block_until_ready(outs)
+    carry = jnp.zeros(())
+    for b in batches:
+        out = pipeline(vit_params, mlp_params, b + carry * 1e-12)
+        carry = out[0, 0, 0]
+    float(carry)  # value fence: forces true completion through the relay
     dt = time.time() - t0
 
     images_per_sec = ITERS * BATCH / dt

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--sizes", type=int, nargs="+", default=[112, 224, 448])
+    ap.add_argument("--attention", type=str, nargs="+", default=None,
+                    help="attention impls to sweep (default: flash+xla on TPU, xla on CPU)")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +46,8 @@ def main():
     ]
     rows = []
     for backbone, btype, patch in configs:
-        for attn in (["flash", "xla"] if on_tpu else ["xla"]):
+        attns = args.attention or (["flash", "xla"] if on_tpu else ["xla"])
+        for attn in attns:
             vit = make_vit(backbone, btype, patch, attention_impl=attn)
             params = None
             for size in args.sizes:
@@ -55,17 +58,28 @@ def main():
                 fn = jax.jit(lambda p, x: dense_features(vit, p, x))
                 try:
                     fn(params, img).block_until_ready()  # compile
-                    # distinct inputs per trial: the test env's TPU relay
-                    # dedups identical dispatches (see bench.py docstring)
+                    # distinct HOST-generated inputs per trial: the test
+                    # env's TPU relay memoizes deterministic on-device
+                    # computation lineages, so even distinct jax.random
+                    # inputs can be served from cache — host randomness
+                    # cannot (see bench.py docstring)
+                    import numpy as _np
+
+                    rng = _np.random.RandomState(7)
                     imgs = [
-                        jax.random.uniform(jax.random.fold_in(jax.random.PRNGKey(2), t),
-                                           (args.batch, 3, size_eff, size_eff))
-                        for t in range(args.trials)
+                        jax.device_put(rng.rand(args.batch, 3, size_eff, size_eff).astype(_np.float32))
+                        for _ in range(args.trials)
                     ]
                     jax.block_until_ready(imgs)
+                    # chain iterations through a data dependency: the
+                    # relay can fan independent dispatches across a chip
+                    # pool; chaining measures ONE chip (see bench.py)
                     t0 = time.time()
-                    outs = [fn(params, im) for im in imgs]
-                    jax.block_until_ready(outs)
+                    carry = 0.0
+                    for im in imgs:
+                        out = fn(params, im + carry * 1e-12)
+                        carry = out[0, 0, 0, 0]
+                    jax.block_until_ready(carry)
                     dt = (time.time() - t0) / args.trials
                 except Exception as e:  # OOM at large sizes etc.
                     print(f"SKIP {backbone}_{btype}/{patch} {size_eff}px {attn}: {type(e).__name__}")

@@ -74,3 +74,55 @@ def test_estimator_whole_pickle(tmp_path):
     out = est2.train()
     assert out.get("loss_total", -1) > 0
     assert est2.step == step0 + 1
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from tests.test_traversability_estimator import _add_mission, _make_estimator, _pose
+    from wild_visual_navigation_tpu.traversability import SupervisionNode
+
+    est = _make_estimator()
+    key = jax.random.PRNGKey(5)
+    for i, x in enumerate(np.linspace(0, 0.6, 4)):
+        _add_mission(est, float(i), float(x), jax.random.fold_in(key, i))
+    for i, x in enumerate(np.linspace(0, 0.6, 5)):
+        sn = SupervisionNode(
+            timestamp=float(i) + 0.5, pose_base_in_world=_pose(float(x)), width=0.4, length=0.4, height=0.3,
+            twist_in_base=np.array([1.0, 0, 0]), desired_twist_in_base=np.array([1.0, 0, 0]),
+            traversability=0.8, traversability_var=1.0, is_untraversable=False,
+        )
+        est.add_supervision_node(sn)
+    for _ in range(3):
+        est.train()
+    path = est.save_checkpoint_orbax(str(tmp_path))
+    step0 = est.step
+
+    est2 = _make_estimator()
+    est2.load_checkpoint_orbax(path)
+    assert est2.step == step0
+    for a, b in zip(jax.tree_util.tree_leaves(est.params), jax.tree_util.tree_leaves(est2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_confidence_sample_logging(tmp_path):
+    from tests.test_traversability_estimator import _add_mission, _make_estimator, _pose
+    from wild_visual_navigation_tpu.traversability import SupervisionNode
+
+    est = _make_estimator(log_confidence_folder=str(tmp_path / "cg"), log_every=2)
+    key = jax.random.PRNGKey(6)
+    for i, x in enumerate(np.linspace(0, 0.6, 4)):
+        _add_mission(est, float(i), float(x), jax.random.fold_in(key, i))
+    for i, x in enumerate(np.linspace(0, 0.6, 5)):
+        sn = SupervisionNode(
+            timestamp=float(i) + 0.5, pose_base_in_world=_pose(float(x)), width=0.4, length=0.4, height=0.3,
+            twist_in_base=np.array([1.0, 0, 0]), desired_twist_in_base=np.array([1.0, 0, 0]),
+            traversability=0.8, traversability_var=1.0, is_untraversable=False,
+        )
+        est.add_supervision_node(sn)
+    for _ in range(6):
+        est.train()
+    import os
+
+    files = os.listdir(str(tmp_path / "cg"))
+    assert len(files) >= 2
+    d = np.load(str(tmp_path / "cg" / sorted(files)[0]))
+    assert "mean" in d and "std" in d

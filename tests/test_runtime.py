@@ -191,3 +191,21 @@ def test_sequence_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(seq2.frames[0].image, seq.frames[0].image)
     np.testing.assert_allclose(seq2.states[-1].current_twist, seq.states[-1].current_twist)
     assert seq2.frames[0].camera == "front"
+
+
+def test_status_monitor():
+    import time as _time
+
+    from wild_visual_navigation_tpu.runtime.status import StatusMonitor
+
+    mon = StatusMonitor(rate_hz=100, stale_after=0.05, printer=None)
+    mon.tick("front_camera")
+    mon.tick("robot_state")
+    rows = mon.rows()
+    assert {r["input"] for r in rows} == {"front_camera", "robot_state"}
+    assert all(r["state"] == "ok" for r in rows)
+    _time.sleep(0.08)
+    rows = mon.rows()
+    assert all(r["state"] in ("stale", "dead") for r in rows)
+    s = mon.render()
+    assert "front_camera" in s

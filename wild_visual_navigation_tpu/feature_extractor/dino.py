@@ -26,10 +26,10 @@ from ..ops.resize import center_crop, imagenet_normalize, interpolate_bilinear, 
 
 
 def _default_attention_impl() -> str:
-    # Measured on v5e: XLA's fused attention beats the Pallas flash
-    # kernel at ViT shapes (head_dim 64, S ~1-6k) — 14.2 vs 21.3
-    # ms/batch for ViT-S/14 @448 B8. The flash kernel remains opt-in
-    # (attention_impl="flash") pending head-packing optimization.
+    # Value-fenced interleaved medians on v5e: XLA's fused attention
+    # and the Pallas flash kernel are equal within environment noise at
+    # ViT shapes (head_dim 64, S ~1-6k). XLA stays default (simpler,
+    # differentiable); flash is opt-in via attention_impl="flash".
     return "xla"
 
 

@@ -6,15 +6,14 @@ delegates to torch/stego CUDA kernels; here the ViT's full (non-causal)
 self-attention over <=~3200 patch tokens is computed tile-by-tile with
 an online softmax so the (S, S) score matrix never round-trips HBM.
 
-Performance status (measured on v5e with dedup-proof distinct-input
-benchmarking): at the ViT zoo's shapes (head_dim 64, S 1k-6.5k) XLA's
-fused attention is FASTER than this kernel (ViT-S/14 @448 B8: 14.2 ms
-vs 21.3 ms per batch) — head_dim 64 wastes half of the 128-lane tiles
-and the per-(batch*head) grid leaves the MXU underfed. The kernel is
-therefore opt-in (models/vit.py attention_impl="flash"); making it win
-requires packing heads into the matmul M dimension. Kept as the
-foundation for long-context variants where the (S, S) HBM roundtrip
-dominates.
+Performance status (value-fenced interleaved medians on v5e — see
+bench.py for why naive timing lies in this environment): this kernel
+and XLA's fused attention are EQUAL within environment noise at the
+ViT zoo's shapes (107 vs 93 ms/batch for the full ViT-S/14 @448 B8
+forward; head_dim 64 wastes half of each 128-lane tile either way).
+XLA stays the default (simpler, differentiable); the kernel is opt-in
+(models/vit.py attention_impl="flash") and is the foundation for
+longer-sequence regimes where the (S, S) HBM roundtrip dominates.
 
 Design (see the Pallas guide's flash-attention walkthrough):
   * grid = (batch*heads, S/block_q, S/block_k); the last axis is the

@@ -87,6 +87,8 @@ class TraversabilityEstimator:
         reprojection_fanout: int = 32,
         seed: int = 42,
         vis_node_index: int = 10,
+        log_confidence_folder: Optional[str] = None,
+        log_every: int = 20,
     ):
         self._mode = mode
         self._extraction_store_folder = extraction_store_folder
@@ -139,6 +141,9 @@ class TraversabilityEstimator:
         self._pause_supervision_graph = False
         # (mission_nodes, device counts) awaiting flag resolution
         self._pending_supervision: list = []
+        # confidence-sample journal (reference confidence_generator.py:165-178)
+        self._log_confidence_folder = log_confidence_folder
+        self._log_every = log_every
 
         self._build_jitted()
 
@@ -466,6 +471,15 @@ class TraversabilityEstimator:
                         self._params, self._opt_state, self._cg_state, self._buffer, jnp.asarray(idx)
                     )
                 self._step += 1
+                if self._log_confidence_folder and self._step % self._log_every == 0:
+                    os.makedirs(self._log_confidence_folder, exist_ok=True)
+                    np.savez(
+                        os.path.join(self._log_confidence_folder, f"samples_{self._step:06d}.npz"),
+                        mean=np.asarray(self._cg_state.mean),
+                        std=np.asarray(self._cg_state.std),
+                        var=np.asarray(self._cg_state.var),
+                        loss=np.asarray(loss),
+                    )
                 if convert_losses:
                     self._loss = float(loss)
                     return_dict["loss_total"] = self._loss
@@ -517,6 +531,41 @@ class TraversabilityEstimator:
         self._loss = payload["loss"]
         self._pause_training = False
         print(f"Loaded checkpoint from file {checkpoint_path}")
+
+    def save_checkpoint_orbax(self, mission_path: str, step: Optional[int] = None) -> str:
+        """Orbax-backed checkpoint (the idiomatic TPU checkpointing
+        stack; async-capable, sharded-array aware). Same payload as
+        save_checkpoint."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(mission_path, f"orbax_{step if step is not None else self._step}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {
+            "params": self._params,
+            "opt_state": self._opt_state,
+            "cg_state": list(self._cg_state),
+            "step": self._step,
+        }, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def load_checkpoint_orbax(self, path: str):
+        import orbax.checkpoint as ocp
+
+        from ..utils.confidence_generator import ConfidenceState
+
+        ckptr = ocp.StandardCheckpointer()
+        template = {
+            "params": self._params,
+            "opt_state": self._opt_state,
+            "cg_state": list(self._cg_state),
+            "step": self._step,
+        }
+        restored = ckptr.restore(os.path.abspath(path), template)
+        self._params = restored["params"]
+        self._opt_state = restored["opt_state"]
+        self._cg_state = ConfidenceState(*restored["cg_state"])
+        self._step = int(restored["step"])
 
     def load_confidence_state_dict(self, d: dict):
         self._cg_state = confidence_load_state_dict(self._cg_state, d)
