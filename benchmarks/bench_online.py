@@ -10,7 +10,11 @@ supervision, 10 grad steps/s) and the BASELINE north star
   * supervision reprojection+fusion update (fan-out 32 @ input_size^2);
   * train step (batch 8 x S segments, fwd/loss/bwd/adam/confidence).
 
-Dedup-proof method: distinct inputs per iteration, fence all outputs.
+Method: distinct host-generated inputs; each phase runs K steps and is
+fenced by ONE value download of a scalar reduced from the final device
+state (see bench.py — block_until_ready is unreliable through the dev
+relay). Numbers are sustainable aggregate rates with natural pipeline
+overlap, the production question.
 
 Usage: python benchmarks/bench_online.py [--size 224] [--seg slic]
 """
@@ -71,43 +75,56 @@ def main():
     imgs = [jnp.asarray(rng.rand(3, args.size, args.size).astype(np.float32)) for _ in range(args.iters + 10)]
     jax.block_until_ready(imgs)
 
-    t_img, t_sup, t_train = [], [], []
-    x = 0.0
-    for i, img in enumerate(imgs):
-        x += 0.11
-        t0 = time.time()
-        res = rt.image_callback(img, i * 0.1, "front", K, args.size, args.size, pose(x), cam_in_base)
-        jax.block_until_ready(rt.estimator.buffer.features)
-        if i >= 5:
-            t_img.append(time.time() - t0)
+    import jax.numpy as jnp
 
-        t0 = time.time()
+    def fence():
+        # actual value download = the only true completion fence here
+        return float(jnp.sum(rt.estimator.buffer.signal)) + float(
+            jax.tree_util.tree_leaves(rt.estimator.params)[0].sum()
+        )
+
+    # warm all programs + populate the graph
+    x = 0.0
+    for i in range(8):
+        x += 0.11
+        rt.image_callback(imgs[i], i * 0.1, "front", K, args.size, args.size, pose(x), cam_in_base)
         rt.robot_state_callback(i * 0.1 + 0.01, pose(x), np.array([1.0, 0, 0, 0, 0, 0]) + rng.randn(6) * 0.02,
                                 np.array([1.0, 0, 0, 0, 0, 0]))
-        jax.block_until_ready(rt.estimator.buffer.supervision_mask)
-        if i >= 5:
-            t_sup.append(time.time() - t0)
+        rt.learning_step()
+    fence()
 
-        t0 = time.time()
-        st = rt.learning_step()
-        jax.block_until_ready(rt.estimator.params)
-        if i >= 5 and st.loss_total > 0:
-            t_train.append(time.time() - t0)
+    n = args.iters
+    t0 = time.time()
+    for i in range(n):
+        x += 0.11
+        rt.image_callback(imgs[8 + i], 10 + i * 0.1, "front", K, args.size, args.size, pose(x), cam_in_base)
+    fence()
+    t_img = (time.time() - t0) / n
 
-    def p(ts):
-        a = np.asarray(ts) * 1e3
-        return {"p50_ms": round(float(np.percentile(a, 50)), 2), "p95_ms": round(float(np.percentile(a, 95)), 2)}
+    t0 = time.time()
+    for i in range(n):
+        x += 0.02
+        rt.robot_state_callback(20 + i * 0.1, pose(x), np.array([1.0, 0, 0, 0, 0, 0]) + rng.randn(6) * 0.02,
+                                np.array([1.0, 0, 0, 0, 0, 0]))
+    fence()
+    t_sup = (time.time() - t0) / n
+
+    t0 = time.time()
+    for i in range(n):
+        rt.learning_step()
+    fence()
+    t_train = (time.time() - t0) / n
 
     frame_time_ms = 100.0  # 10 Hz camera
     result = {
-        "image_callback": p(t_img),
-        "supervision_update": p(t_sup),
-        "train_step": p(t_train),
-        "train_p50_under_frame_time": p(t_train)["p50_ms"] < frame_time_ms,
+        "image_callback_ms": round(t_img * 1e3, 2),
+        "supervision_update_ms": round(t_sup * 1e3, 2),
+        "train_step_ms": round(t_train * 1e3, 2),
+        "train_under_frame_time": t_train * 1e3 < frame_time_ms,
         "sustainable_rates_hz": {
-            "images": round(1000 / p(t_img)["p50_ms"], 1),
-            "supervision": round(1000 / p(t_sup)["p50_ms"], 1),
-            "train": round(1000 / p(t_train)["p50_ms"], 1),
+            "images": round(1 / t_img, 1),
+            "supervision": round(1 / t_sup, 1),
+            "train": round(1 / t_train, 1),
         },
     }
     print(json.dumps(result, indent=2))
