@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--seg", type=str, default="slic")
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--supervision_flush_every", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -57,7 +58,8 @@ def main():
         robot_width=0.6, robot_length=1.0,
     )
     rt = WVNRuntime(fe_params=fe, ln_params=ln, exp_params=ExperimentParams(),
-                    key=jax.random.PRNGKey(0), buffer_capacity=128, reprojection_fanout=32)
+                    key=jax.random.PRNGKey(0), buffer_capacity=128, reprojection_fanout=32,
+                    supervision_flush_every=args.supervision_flush_every)
     print(f"device: {jax.devices()[0]}; fused={rt._fused_frame is not None}", flush=True)
 
     K = np.array([[0.6 * args.size, 0, args.size / 2], [0, 0.6 * args.size, args.size / 2], [0, 0, 1]])
@@ -78,6 +80,7 @@ def main():
     import jax.numpy as jnp
 
     def fence():
+        rt.estimator.flush_supervision()
         # actual value download = the only true completion fence here
         return float(jnp.sum(rt.estimator.buffer.signal)) + float(
             jax.tree_util.tree_leaves(rt.estimator.params)[0].sum()

@@ -100,6 +100,7 @@ class WVNRuntime:
         use_fused: bool = True,
         gridmap_size: int = 0,
         gridmap_resolution: float = 0.1,
+        supervision_flush_every: int = 1,
     ):
         self.fe_params = fe_params or FeatureExtractorNodeParams()
         self.ln_params = ln_params or LearningNodeParams()
@@ -153,6 +154,7 @@ class WVNRuntime:
             image_width=self._W,
             reprojection_fanout=reprojection_fanout,
             vis_node_index=self.ln_params.vis_node_index,
+            supervision_flush_every=supervision_flush_every,
         )
         self.supervision_generator = SupervisionGenerator(
             untraversable_thr=self.ln_params.untraversable_thr,

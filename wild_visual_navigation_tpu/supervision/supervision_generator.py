@@ -56,6 +56,15 @@ class SupervisionGenerator:
             outlier_delta=kf_outlier_rejection_delta,
         )
         self._kf_state = KalmanState(x=np.zeros((1,), np.float32), P=np.eye(1, dtype=np.float32) * 0.1)
+        # Host-scalar cache of the (device-array) filter matrices: the
+        # per-step host KF must never touch device memory (each float()
+        # of a device scalar is a full D2H round trip).
+        self._kf_host = {
+            "A": float(self._kf_params.proc_model[0, 0]),
+            "Q": float(self._kf_params.proc_cov[0, 0]),
+            "H": float(self._kf_params.meas_model[0, 0]),
+            "R": float(self._kf_params.meas_cov[0, 0]),
+        }
         self._sigmoid_slope = sigmoid_slope
         self._sigmoid_cutoff = sigmoid_cutoff
         self._untraversable_thr = untraversable_thr
@@ -81,8 +90,8 @@ class SupervisionGenerator:
         p = self._kf_params
         x = float(self._kf_state.x[0])
         P = float(self._kf_state.P[0, 0])
-        A, Q = float(p.proc_model[0, 0]), float(p.proc_cov[0, 0])
-        Hm, R = float(p.meas_model[0, 0]), float(p.meas_cov[0, 0])
+        A, Q = self._kf_host["A"], self._kf_host["Q"]
+        Hm, R = self._kf_host["H"], self._kf_host["R"]
         x = A * x
         P = A * P * A + Q
         innov = error - Hm * x

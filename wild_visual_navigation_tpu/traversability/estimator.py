@@ -89,6 +89,7 @@ class TraversabilityEstimator:
         vis_node_index: int = 10,
         log_confidence_folder: Optional[str] = None,
         log_every: int = 20,
+        supervision_flush_every: int = 1,
     ):
         self._mode = mode
         self._extraction_store_folder = extraction_store_folder
@@ -144,12 +145,33 @@ class TraversabilityEstimator:
         # confidence-sample journal (reference confidence_generator.py:165-178)
         self._log_confidence_folder = log_confidence_folder
         self._log_every = log_every
+        # micro-batched supervision: queue up to `supervision_flush_every`
+        # footprint updates and apply them in ONE device program (the
+        # in-program scan preserves sequential min-fusion semantics
+        # exactly while cutting dispatch count)
+        self._flush_every = max(1, supervision_flush_every)
+        self._pending_footprints: list = []
 
         self._build_jitted()
+
+    def flush_supervision(self):
+        """Apply all queued footprint updates in one device program."""
+        if not self._pending_footprints:
+            return
+        pending, self._pending_footprints = self._pending_footprints, []
+        idxs = np.stack([p[0] for p in pending])
+        fps = np.stack([p[1] for p in pending])
+        travs = np.asarray([p[2] for p in pending], np.float32)
+        self._buffer, counts = self._reproject_update(
+            self._buffer, jnp.asarray(idxs), jnp.asarray(fps), jnp.asarray(travs)
+        )
+        for (_, _, _, nodes), c in zip(pending, counts):
+            self._pending_supervision.append((nodes, c))
 
     def _resolve_pending_supervision(self):
         """Batched readback of deferred supervision counts -> node
         validity flags (one D2H transfer for all pending updates)."""
+        self.flush_supervision()
         if not self._pending_supervision:
             return
         pending, self._pending_supervision = self._pending_supervision, []
@@ -166,26 +188,36 @@ class TraversabilityEstimator:
         anomaly = self._anomaly_detection
 
         @partial(jax.jit, donate_argnums=(0,))
-        def _reproject_update(buf: MissionBuffer, idx, footprint, trav):
-            """idx: (B_max,) int32 slots (== capacity for padding, which
-            scatter-drops); footprint: (P, 3); trav: scalar."""
-            K_sel = buf.K[idx.clip(0, buf.capacity - 1)]
-            pose_sel = buf.pose_cam_in_world[idx.clip(0, buf.capacity - 1)]
-            masks_sel = buf.supervision_mask[idx.clip(0, buf.capacity - 1)]
-            seg_sel = buf.seg[idx.clip(0, buf.capacity - 1)]
-            B = idx.shape[0]
-            cam = Camera(K=K_sel, height=H, width=W)
-            pts = jnp.broadcast_to(footprint[None], (B, footprint.shape[0], 3))
-            inside, _, _ = project_and_render(cam, pose_sel, pts)
-            vals = jnp.where(inside, trav, jnp.inf)
-            fused = jnp.minimum(masks_sel, vals)
-            sig, sv = jax.vmap(lambda m, s: segment_masked_mean(m, jnp.isfinite(m), s, S))(fused, seg_sel)
-            new = buf._replace(
-                supervision_mask=buf.supervision_mask.at[idx].set(fused, mode="drop"),
-                signal=buf.signal.at[idx].set(sig, mode="drop"),
-                signal_valid=buf.signal_valid.at[idx].set(sv, mode="drop"),
-            )
-            return new, jnp.sum(sv, axis=-1)
+        def _reproject_update(buf: MissionBuffer, idxs, footprints, travs):
+            """Apply Q sequential footprint updates in one program.
+
+            idxs: (Q, B_max) int32 slots (== capacity pads, which
+            scatter-drop); footprints: (Q, P, 3); travs: (Q,). A
+            lax.scan over Q reproduces the exact sequential fmin
+            semantics of Q separate updates."""
+
+            def one(buf, args):
+                idx, footprint, trav = args
+                sel = idx.clip(0, buf.capacity - 1)
+                K_sel = buf.K[sel]
+                pose_sel = buf.pose_cam_in_world[sel]
+                masks_sel = buf.supervision_mask[sel]
+                seg_sel = buf.seg[sel]
+                B = idx.shape[0]
+                cam = Camera(K=K_sel, height=H, width=W)
+                pts = jnp.broadcast_to(footprint[None], (B, footprint.shape[0], 3))
+                inside, _, _ = project_and_render(cam, pose_sel, pts)
+                vals = jnp.where(inside, trav, jnp.inf)
+                fused = jnp.minimum(masks_sel, vals)
+                sig, sv = jax.vmap(lambda m, s: segment_masked_mean(m, jnp.isfinite(m), s, S))(fused, seg_sel)
+                new = buf._replace(
+                    supervision_mask=buf.supervision_mask.at[idx].set(fused, mode="drop"),
+                    signal=buf.signal.at[idx].set(sig, mode="drop"),
+                    signal_valid=buf.signal_valid.at[idx].set(sv, mode="drop"),
+                )
+                return new, jnp.sum(sv, axis=-1)
+
+            return jax.lax.scan(one, buf, (idxs, footprints, travs))
 
         def _loss_on_batch(params, batch, cg_state):
             if anomaly:
@@ -321,6 +353,10 @@ class TraversabilityEstimator:
         success = self._mission_graph.add_node(node)
         if not (success and node.use_for_training):
             return None
+        # pending footprint updates reference buffer slots by index;
+        # apply them before a slot can be recycled
+        if self._slot_to_node.get(self._next_slot % self._buffer.capacity) is not None:
+            self.flush_supervision()
         slot = self._next_slot % self._buffer.capacity
         self._next_slot += 1
         node.buffer_slot = slot
@@ -404,20 +440,15 @@ class TraversabilityEstimator:
         for i, n in enumerate(mission_nodes):
             idx[i] = n.buffer_slot
 
-        self._buffer, valid_counts = self._reproject_update(
-            self._buffer,
-            jnp.asarray(idx),
-            jnp.asarray(footprint, jnp.float32),
-            jnp.asarray(float(pnode.traversability), jnp.float32),
-        )
-        # Defer the counts device->host readback: a per-update scalar
-        # download stalls the 10 Hz supervision path (fixed D2H latency
-        # is ~25 ms through a remote-TPU link). Flags are resolved
-        # lazily, in one batched transfer, by the consumers that need
-        # them (training/validity queries).
-        self._pending_supervision.append((mission_nodes, valid_counts))
+        # Queue the update; flush applies up to `_flush_every` of them
+        # in one device program. Counts readback stays deferred too.
+        self._pending_footprints.append((idx, footprint.astype(np.float32),
+                                         float(pnode.traversability), mission_nodes))
+        if len(self._pending_footprints) >= self._flush_every:
+            self.flush_supervision()
 
         if self._mode == WVNMode.EXTRACT_LABELS and self._extraction_store_folder:
+            self.flush_supervision()
             self._export_supervision_masks(mission_nodes)
         return True
 
@@ -573,6 +604,7 @@ class TraversabilityEstimator:
     def save_graph(self, mission_path: str):
         """Mission-graph dataset export for offline training (reference
         :347-375): per-node features / signals / masks as npz."""
+        self.flush_supervision()
         os.makedirs(mission_path, exist_ok=True)
         buf = self._buffer
         feats, sig, sv = np.asarray(buf.features), np.asarray(buf.signal), np.asarray(buf.signal_valid)
@@ -601,8 +633,10 @@ class TraversabilityEstimator:
     # arrays round-trip through numpy.)
     def __getstate__(self):
         self._resolve_pending_supervision()
+        # (resolve flushes pending footprints first)
         state = self.__dict__.copy()
         state["_pending_supervision"] = []
+        state["_pending_footprints"] = []
         # locks, jitted closures, and the optax transformation (local
         # closures) are rebuilt in __setstate__
         for k in ("_learning_lock", "_reproject_update", "_train_step_fn", "_gather_batch", "_tx"):
