@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--seg", type=str, default="slic")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--supervision_flush_every", type=int, default=4)
+    ap.add_argument("--dtype", type=str, default="uint8", choices=["uint8", "float32"],
+                    help="camera frame dtype; uint8 is the production ingest "
+                         "(4x smaller host->device upload, normalized on device)")
     args = ap.parse_args()
 
     import jax
@@ -73,9 +76,13 @@ def main():
         T[0, 3] = x
         return T
 
-    # warm up everything (fills the graph too)
-    imgs = [jnp.asarray(rng.rand(3, args.size, args.size).astype(np.float32)) for _ in range(args.iters + 10)]
-    jax.block_until_ready(imgs)
+    # Host-resident frames, uploaded inside the timed loop — the
+    # production shape of the cost (a camera delivers host memory).
+    # uint8 is the realistic ingest: 4x smaller upload, [0,1] on device.
+    if args.dtype == "uint8":
+        imgs = [(rng.rand(3, args.size, args.size) * 255).astype(np.uint8) for _ in range(args.iters + 10)]
+    else:
+        imgs = [rng.rand(3, args.size, args.size).astype(np.float32) for _ in range(args.iters + 10)]
 
     import jax.numpy as jnp
 

@@ -186,4 +186,29 @@ void wvn_image_u8hwc_resize_f32chw(const uint8_t* src, int h, int w, int c,
   }
 }
 
+// Raw uint8 HWC -> uint8 CHW (no scaling): preferred camera ingest when
+// the device does the [0,1] conversion — uploads 4x less than float32.
+void wvn_image_u8hwc_to_u8chw(const uint8_t* src, int h, int w, int c, uint8_t* dst) {
+  for (int ch = 0; ch < c; ++ch) {
+    uint8_t* out = dst + static_cast<size_t>(ch) * h * w;
+    const uint8_t* in = src + ch;
+    const size_t n = static_cast<size_t>(h) * w;
+    for (size_t i = 0; i < n; ++i) out[i] = in[i * c];
+  }
+}
+
+void wvn_image_u8hwc_resize_u8chw(const uint8_t* src, int h, int w, int c,
+                                  int oh, int ow, uint8_t* dst) {
+  for (int oy = 0; oy < oh; ++oy) {
+    const int iy = static_cast<int>(static_cast<int64_t>(oy) * h / oh);
+    for (int ox = 0; ox < ow; ++ox) {
+      const int ix = static_cast<int>(static_cast<int64_t>(ox) * w / ow);
+      const uint8_t* px = src + (static_cast<size_t>(iy) * w + ix) * c;
+      for (int ch = 0; ch < c; ++ch) {
+        dst[(static_cast<size_t>(ch) * oh + oy) * ow + ox] = px[ch];
+      }
+    }
+  }
+}
+
 }  // extern "C"

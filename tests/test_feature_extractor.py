@@ -278,3 +278,15 @@ def test_runtime_with_stego_features():
     assert res is not None
     assert res.traversability.shape == (16, 16)
     assert rt.estimator._mission_graph.get_num_nodes() == 1
+
+
+def test_extract_uint8_matches_float():
+    import numpy as np
+
+    fe = FeatureExtractor(segmentation_type="grid", feature_type="sift", input_size=32, cell_size=8)
+    rng = np.random.RandomState(5)
+    u8 = rng.randint(0, 256, size=(1, 3, 32, 32), dtype=np.uint8)
+    ex_u8 = fe.extract(jnp.asarray(u8))
+    ex_f32 = fe.extract(jnp.asarray(u8.astype(np.float32) / 255.0))
+    np.testing.assert_allclose(np.asarray(ex_u8.features), np.asarray(ex_f32.features), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ex_u8.segments), np.asarray(ex_f32.segments))

@@ -99,3 +99,17 @@ def test_image_ingest_fused_resize():
     iy = np.arange(32) * 64 // 32
     ref = (img.astype(np.float32) / 255.0)[iy][:, iy].transpose(2, 0, 1)
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_u8_ingest_and_resize():
+    from wild_visual_navigation_tpu.runtime.native_ipc import image_to_chw_u8
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    out = image_to_chw_u8(img)
+    np.testing.assert_array_equal(out, img.transpose(2, 0, 1))
+    small = image_to_chw_u8(img, 24, 32)
+    assert small.shape == (3, 24, 32) and small.dtype == np.uint8
+    iy = np.arange(24) * 48 // 24
+    ix = np.arange(32) * 64 // 32
+    np.testing.assert_array_equal(small, img[iy][:, ix].transpose(2, 0, 1))

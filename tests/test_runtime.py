@@ -209,3 +209,15 @@ def test_status_monitor():
     assert all(r["state"] in ("stale", "dead") for r in rows)
     s = mon.render()
     assert "front_camera" in s
+
+
+def test_runtime_accepts_uint8_frames():
+    rt = _tiny_runtime()
+    seq = synthetic_sequence(duration=2.0, frame_rate=5.0, state_rate=5.0, image_size=48, seed=7)
+    f = seq.frames[0]
+    img_u8 = (f.image * 255).astype(np.uint8)
+    res = rt.image_callback(img_u8, f.stamp, f.camera, f.K, 48, 48,
+                            f.pose_base_in_world, f.pose_cam_in_base)
+    assert res is not None
+    t = np.asarray(res.traversability)
+    assert t.shape == (48, 48) and np.isfinite(t).all()

@@ -208,7 +208,10 @@ class FeatureExtractor:
 
     # -------------------------------------------------------------- main
     def extract(self, img: jnp.ndarray, key: Optional[jax.Array] = None, return_dense_features: bool = False) -> Extraction:
-        """img: (1, 3, H, W) RGB in [0,1]. Reference extract (:95-128)."""
+        """img: (1, 3, H, W) RGB in [0,1] float (uint8 accepted and
+        converted on device). Reference extract (:95-128)."""
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
         H, W = img.shape[2], img.shape[3]
         edges, edge_valid, seg, centers, center_valid = self.compute_segments(img, key=key)
         dense = self.compute_features(img, key=key)

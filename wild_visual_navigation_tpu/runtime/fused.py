@@ -63,6 +63,10 @@ def build_fused_frame_fn(
     S = num_segments
 
     def frame(vit_params, mlp_params, cg_state, img):
+        # uint8 camera frames upload 4x less data than float32; the
+        # [0,1] conversion happens on device (dtype is trace-static).
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
         x = resize_smaller_edge_nearest(img, H)
         x = center_crop(x, H)
         xn = imagenet_normalize(x)
@@ -119,6 +123,8 @@ def build_fused_batch_fn(vit, mlp, input_size: int, batch: int):
 
     @jax.jit
     def frames(vit_params, mlp_params, imgs):
+        if imgs.dtype == jnp.uint8:
+            imgs = imgs.astype(jnp.float32) / 255.0
         xn = imagenet_normalize(imgs)
         feat = dense_features(vit, vit_params, xn)  # (B, D, Hp, Wp)
         B, D, Hp, Wp = feat.shape

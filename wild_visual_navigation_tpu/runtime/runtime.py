@@ -293,7 +293,11 @@ class WVNRuntime:
         so features go straight into the mission buffer, no
         serialization).
 
-        img: (3, H0, W0) RGB [0,1] numpy/jax array.
+        img: (3, H0, W0) RGB numpy/jax array — float in [0,1] or uint8
+        (preferred on TPU: a uint8 frame uploads 4x less than float32
+        over the host link; the [0,1] conversion happens on device
+        inside the jitted frame program; native_ipc.image_to_chw_u8
+        is the matching zero-copy HWC->CHW ingest).
         Returns None when rate-gated or scheduled out.
         """
         # rate gate (reference :283-285)
