@@ -7,7 +7,11 @@ N cameras' frames batched into one fused inference program (ViT-B/14 at
 same chip. Reports per-camera sustainable frame rate and the training
 rate achieved alongside.
 
-Dedup-proof method: distinct inputs, fence all outputs.
+Method (see bench.py): distinct host-generated inputs via device_put,
+every iteration chained through a data dependency on the previous
+outputs (both the inference result and the train loss), and the timing
+fenced by an actual value download at the end — block_until_ready is
+not a reliable fence through the dev relay.
 """
 
 from __future__ import annotations
@@ -26,7 +30,9 @@ def main():
     ap.add_argument("--cameras", type=int, default=4)
     ap.add_argument("--size", type=int, default=644)
     ap.add_argument("--backbone_type", type=str, default="vit_base")
-    ap.add_argument("--iters", type=int, default=10)
+    # Long chains matter: the relay's fixed warmup (~1-2 s) amortizes
+    # over the chain; at 10 iters it inflated the cycle time ~2x.
+    ap.add_argument("--iters", type=int, default=40)
     args = ap.parse_args()
 
     import jax
@@ -76,23 +82,28 @@ def main():
         updates, opt2 = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt2, cg2, loss
 
-    frames = [jax.random.uniform(jax.random.fold_in(key, 10 + i), (B, 3, size, size)) for i in range(args.iters)]
-    xs = [jax.random.normal(jax.random.fold_in(key, 100 + i), (8, 100, D)) for i in range(args.iters)]
-    ys = [jax.random.uniform(jax.random.fold_in(key, 200 + i), (8, 100)) for i in range(args.iters)]
-    yvs = [jax.random.uniform(jax.random.fold_in(key, 300 + i), (8, 100)) < 0.5 for i in range(args.iters)]
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    frames = [jax.device_put(rng.rand(B, 3, size, size).astype(np.float32)) for i in range(args.iters)]
+    xs = [jax.device_put(rng.randn(8, 100, D).astype(np.float32)) for i in range(args.iters)]
+    ys = [jax.device_put(rng.rand(8, 100).astype(np.float32)) for i in range(args.iters)]
+    yvs = [jax.device_put(rng.rand(8, 100) < 0.5) for i in range(args.iters)]
     jax.block_until_ready((frames, xs, ys, yvs))
 
-    # compile
-    infer(vit_params, mlp_params, frames[0]).block_until_ready()
-    mlp_params, opt_state, cg, _ = train_step(mlp_params, opt_state, cg, xs[0], ys[0], yvs[0])
-    jax.block_until_ready(mlp_params)
+    # compile + complete (value download is the only true fence)
+    fr = infer(vit_params, mlp_params, frames[0])
+    mlp_params, opt_state, cg, loss = train_step(mlp_params, opt_state, cg, xs[0], ys[0], yvs[0])
+    float(jnp.sum(fr) + loss)
 
     t0 = time.time()
-    outs = []
+    carry = jnp.zeros(())
     for i in range(args.iters):
-        outs.append(infer(vit_params, mlp_params, frames[i]))
-        mlp_params, opt_state, cg, loss = train_step(mlp_params, opt_state, cg, xs[i], ys[i], yvs[i])
-    jax.block_until_ready((outs, mlp_params))
+        fr = infer(vit_params, mlp_params, frames[i] + carry * 1e-12)
+        mlp_params, opt_state, cg, loss = train_step(
+            mlp_params, opt_state, cg, xs[i] + carry * 1e-12, ys[i], yvs[i])
+        carry = jnp.sum(fr) * 1e-9 + loss * 1e-9
+    float(carry)  # value fence
     dt = (time.time() - t0) / args.iters
 
     result = {
