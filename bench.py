@@ -31,7 +31,9 @@ sys.path.insert(0, str(Path(__file__).parent))
 BASELINE_IMAGES_PER_SEC = 10.0  # reference rate gate per camera
 BATCH = 16
 SIZE = 448
-ITERS = 20
+ITERS = 60  # long chains amortize the relay's fixed warmup (~1-2 s);
+# at 20 iters the measured throughput was ~40% lower purely from
+# unamortized startup (223 vs 393 img/s, same chip, same window)
 
 
 def main():

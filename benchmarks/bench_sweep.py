@@ -22,7 +22,8 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--trials", type=int, default=20)
+    # long chains amortize the relay's fixed warmup (see bench.py)
+    ap.add_argument("--trials", type=int, default=40)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--sizes", type=int, nargs="+", default=[112, 224, 448])
@@ -57,7 +58,7 @@ def main():
                     params = vit.init(jax.random.PRNGKey(1), img[:1])
                 fn = jax.jit(lambda p, x: dense_features(vit, p, x))
                 try:
-                    fn(params, img).block_until_ready()  # compile
+                    float(jnp.sum(fn(params, img)))  # compile + true completion
                     # distinct HOST-generated inputs per trial: the test
                     # env's TPU relay memoizes deterministic on-device
                     # computation lineages, so even distinct jax.random
@@ -79,7 +80,7 @@ def main():
                     for im in imgs:
                         out = fn(params, im + carry * 1e-12)
                         carry = out[0, 0, 0, 0]
-                    jax.block_until_ready(carry)
+                    float(carry)  # value download = the only true fence
                     dt = (time.time() - t0) / args.trials
                 except Exception as e:  # OOM at large sizes etc.
                     print(f"SKIP {backbone}_{btype}/{patch} {size_eff}px {attn}: {type(e).__name__}")
