@@ -83,10 +83,12 @@ def main():
 
     csv = logger.store()
     png = logger.plot_learning_curves()
+    tri = rt.export_supervision_markers(ply_path=f"{args.out}/footprints.ply")
     st = rt.system_state
     print(f"steps: {st.step}  valid nodes: {st.mission_graph_num_valid_node}  "
           f"loss: {st.loss_total:.4f} (trav {st.loss_trav:.4f} reco {st.loss_reco:.4f})")
     print(f"wrote {csv}\nwrote {png}\nimages under {args.out}/images")
+    print(f"wrote {args.out}/footprints.ply ({tri.num_triangles} triangles)")
 
 
 if __name__ == "__main__":

@@ -521,6 +521,17 @@ class WVNRuntime:
     def pause_learning(self, pause: bool):
         self.estimator.pause_learning = pause
 
+    def export_supervision_markers(self, ply_path: Optional[str] = None,
+                                   json_path: Optional[str] = None):
+        """3-D driven-footprint ribbon + collision walls, written as
+        PLY/JSON — the RViz graph_footprints Marker equivalent
+        (reference wvn_learning_node.py:690-795)."""
+        from ..visu import export_supervision_markers
+
+        return export_supervision_markers(
+            self.estimator.get_supervision_nodes(), ply_path=ply_path, json_path=json_path,
+        )
+
     def reset(self):
         self.estimator.reset()
         self.hot_swap()
