@@ -32,14 +32,14 @@ class LossParams:
     w_reco: float = 0.5
     w_temp: float = 0.0
     method: str = "latest_measurement"
-    confidence_std_factor: float = 0.7
+    confidence_std_factor: float = 0.5
     trav_cross_entropy: bool = False
 
 
 @dataclass
 class LossAnomalyParams:
     method: str = "latest_measurement"
-    confidence_std_factor: float = 0.7
+    confidence_std_factor: float = 0.5
 
 
 @dataclass

@@ -48,7 +48,7 @@ class LearningNodeParams:
     traversability_radius: float = 3.0
     image_graph_dist_thr: float = 0.2
     supervision_graph_dist_thr: float = 0.1
-    confidence_std_factor: float = 0.7
+    confidence_std_factor: float = 1.0
     min_samples_for_training: int = 5
     network_input_image_height: int = 224
     network_input_image_width: int = 224
@@ -93,7 +93,7 @@ class FeatureExtractorNodeParams:
     slic_num_components: int = 100
     grid_cell_size: int = 32  # grid-segmentation cell edge (this framework)
 
-    confidence_std_factor: float = 0.7
+    confidence_std_factor: float = 1.0
 
     prediction_per_pixel: bool = True
 

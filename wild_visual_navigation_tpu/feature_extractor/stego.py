@@ -6,8 +6,9 @@ which loads the `stego_cocostuff27_vit_base_5.ckpt` Lightning
 checkpoint. Same surface: `inference()` computes 90-d code features and
 two segmentations (cluster-probe classes and per-image k-means
 clusters), bilinear-upsampled code and nearest-upsampled predictions
-(stego_interface.py:104-109). CRF is not implemented (reference
-default off).
+(stego_interface.py:104-109). Optional mean-field CRF refinement
+(ops/crf.py) mirrors the reference's `run_crf` flag (default off,
+matching stego_interface.py:31-39).
 """
 
 from __future__ import annotations

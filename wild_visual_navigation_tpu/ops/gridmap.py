@@ -89,7 +89,8 @@ def project_traversability_to_grid(
 
     dz = dirs[:, 2]
     t = -origin[2] / jnp.where(jnp.abs(dz) < 1e-6, -1e-6, dz)
-    hit = (t > 0) & (t * jnp.linalg.norm(dirs, axis=-1) < max_range * jnp.maximum(jnp.abs(origin[2]), 1.0))
+    # gate on the actual Euclidean camera-to-hit distance
+    hit = (t > 0) & (t * jnp.linalg.norm(dirs, axis=-1) < max_range)
     world_xy = origin[None, :2] + t[:, None] * dirs[:, :2]
 
     cells = jnp.floor((world_xy - grid.origin_xy[None]) / grid.resolution).astype(jnp.int32)

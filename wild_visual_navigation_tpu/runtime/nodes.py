@@ -110,8 +110,23 @@ class FeatureExtractorNode:
         )
         D = self.feature_extractor.feature_dim
         self._S = self.feature_extractor.num_segments(self._H, self._W)
+        # Same runtime input_size patching as WVNRuntime (reference
+        # wvn_learning_node.py:309-315), via the registry's snake-case
+        # cfg key — not hardcoded to SimpleMLP.
+        model_name = self.exp.model.name
+        snake = {"SimpleMLP": "simple_mlp_cfg", "DoubleMLP": "double_mlp_cfg",
+                 "SimpleGCN": "simple_gcn_cfg", "LinearRnvp": "linear_rnvp_cfg"}
+        if model_name == "SimpleGCN":
+            # The process-separated inference node scores features without
+            # segment adjacency (ImageFeatures carries no edges) — the GCN
+            # needs the single-process WVNRuntime.
+            raise ValueError(
+                "FeatureExtractorNode does not support SimpleGCN (no edge "
+                "transport in ImageFeatures); use WVNRuntime instead."
+            )
+        self._anomaly = model_name == "LinearRnvp"
         model_cfg = self.exp.model.to_dict()
-        model_cfg["simple_mlp_cfg"]["input_size"] = D
+        model_cfg[snake[model_name]]["input_size"] = D
         self.model = get_model(model_cfg)
         self.model_params = self.model.init(jax.random.fold_in(key, 7), jnp.zeros((1, D)))
         self.cg_state = confidence_init()
@@ -122,23 +137,34 @@ class FeatureExtractorNode:
             self.scheduler.add_process(cam, int(cfg.get("scheduler_weight", 1)))
         self._last_ts: Dict[str, float] = {}
 
+        anomaly = self._anomaly
+
+        def _score(params, cg_state, x):
+            """(N, D) features -> (N,) trav, (N,) confidence; branches on
+            the model's output contract like WVNRuntime._build_jitted."""
+            out = self.model.apply(params, x)
+            if anomaly:
+                losses = jnp.sum(out["logprob"], axis=-1) + out["log_det"]
+                trav = confidence_inference(self.cg_cfg, cg_state, -losses)
+                conf = jnp.ones_like(trav)
+            else:
+                trav = out[:, 0]
+                reco = jnp.mean((out[:, 1:] - x) ** 2, axis=-1)
+                conf = confidence_inference(self.cg_cfg, cg_state, reco)
+            return trav, conf
+
         @jax.jit
         def _predict_dense(params, cg_state, dense_feat):
             Dd, Hh, Ww = dense_feat.shape
             x = dense_feat.reshape(Dd, -1).T
-            out = self.model.apply(params, x)
-            trav = out[:, 0].reshape(Hh, Ww)
-            reco = jnp.mean((out[:, 1:] - x) ** 2, axis=-1)
-            conf = confidence_inference(self.cg_cfg, cg_state, reco).reshape(Hh, Ww)
-            return trav, conf
+            trav, conf = _score(params, cg_state, x)
+            return trav.reshape(Hh, Ww), conf.reshape(Hh, Ww)
 
         @jax.jit
         def _predict_seg(params, cg_state, feat, seg):
-            out = self.model.apply(params, feat)
-            reco = jnp.mean((out[:, 1:] - feat) ** 2, axis=-1)
-            conf = confidence_inference(self.cg_cfg, cg_state, reco)
+            trav, conf = _score(params, cg_state, feat)
             sid = seg.clip(0, feat.shape[0] - 1)
-            return out[:, 0][sid], conf[sid]
+            return trav[sid], conf[sid]
 
         self._predict_dense = _predict_dense
         self._predict_seg = _predict_seg

@@ -334,15 +334,20 @@ class WVNRuntime:
                 camera_name=camera,
                 use_for_training=use_for_training,
             )
-            slot = self.estimator.allocate_slot(node)
-            if slot is not None:
-                fr, new_buf = self._frame_and_insert(
-                    self._vit_params, params, cg, img, self.estimator.buffer,
-                    jnp.asarray(slot), K_scaled, jnp.asarray(node.pose_cam_in_world, jnp.float32),
-                )
-                self.estimator.commit_buffer(new_buf)
-            else:
-                fr = self._fused_frame(self._vit_params, params, cg, img)
+            # Hold the estimator's buffer lock across read->dispatch->
+            # commit: _frame_and_insert DONATES the buffer, so the
+            # learning thread must not read/flush the stale pytree while
+            # the swap is in flight.
+            with self.estimator.lock:
+                slot = self.estimator.allocate_slot(node)
+                if slot is not None:
+                    fr, new_buf = self._frame_and_insert(
+                        self._vit_params, params, cg, img, self.estimator.buffer,
+                        jnp.asarray(slot), K_scaled, jnp.asarray(node.pose_cam_in_world, jnp.float32),
+                    )
+                    self.estimator.commit_buffer(new_buf)
+                else:
+                    fr = self._fused_frame(self._vit_params, params, cg, img)
             if self.gridmap is not None:
                 self._update_gridmap(fr.traversability, fr.confidence, K_scaled,
                                      node.pose_cam_in_world, node.pose_base_in_world)

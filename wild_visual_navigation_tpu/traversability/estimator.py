@@ -111,7 +111,15 @@ class TraversabilityEstimator:
                 edge_distance=image_distance_thr, max_elements=buffer_capacity
             )
         else:
-            self._mission_graph = BaseGraph(edge_distance=image_distance_thr)
+            # The reference's ONLINE mission graph is unbounded
+            # (BaseGraph) — over a long mission the host node list grows
+            # without limit while only `buffer_capacity` nodes can hold
+            # training data. Cap at 4x capacity: nodes evicted here lost
+            # their ring-buffer slot 3 capacity-cycles ago, so training
+            # and radius-query behavior is unchanged.
+            self._mission_graph = MaxElementsGraph(
+                edge_distance=image_distance_thr, max_elements=4 * buffer_capacity
+            )
 
         # Device state
         self._buffer = buffer_init(buffer_capacity, num_segments, feature_dim, image_height, image_width)
@@ -136,7 +144,13 @@ class TraversabilityEstimator:
         self._step = 0
         self._loss = float("inf")
 
-        self._learning_lock = threading.Lock()
+        # ONE re-entrant lock serializes every mission-buffer read and
+        # mutation (insert/flush/train all DONATE the buffer pytree, so
+        # a concurrent reader of a stale reference would touch deleted
+        # device arrays). Callbacks and the learning thread both take
+        # it; the runtime holds it across its fused
+        # allocate->insert->commit sequence via the `lock` property.
+        self._lock = threading.RLock()
         self._pause_training = False
         self._pause_mission_graph = False
         self._pause_supervision_graph = False
@@ -156,26 +170,28 @@ class TraversabilityEstimator:
 
     def flush_supervision(self):
         """Apply all queued footprint updates in one device program."""
-        if not self._pending_footprints:
-            return
-        pending, self._pending_footprints = self._pending_footprints, []
-        idxs = np.stack([p[0] for p in pending])
-        fps = np.stack([p[1] for p in pending])
-        travs = np.asarray([p[2] for p in pending], np.float32)
-        self._buffer, counts = self._reproject_update(
-            self._buffer, jnp.asarray(idxs), jnp.asarray(fps), jnp.asarray(travs)
-        )
-        for (_, _, _, nodes), c in zip(pending, counts):
-            self._pending_supervision.append((nodes, c))
+        with self._lock:
+            if not self._pending_footprints:
+                return
+            pending, self._pending_footprints = self._pending_footprints, []
+            idxs = np.stack([p[0] for p in pending])
+            fps = np.stack([p[1] for p in pending])
+            travs = np.asarray([p[2] for p in pending], np.float32)
+            self._buffer, counts = self._reproject_update(
+                self._buffer, jnp.asarray(idxs), jnp.asarray(fps), jnp.asarray(travs)
+            )
+            for (_, _, _, nodes), c in zip(pending, counts):
+                self._pending_supervision.append((nodes, c))
 
     def _resolve_pending_supervision(self):
         """Batched readback of deferred supervision counts -> node
         validity flags (one D2H transfer for all pending updates)."""
-        self.flush_supervision()
-        if not self._pending_supervision:
-            return
-        pending, self._pending_supervision = self._pending_supervision, []
-        all_counts = np.asarray(jnp.stack([c for _, c in pending]))
+        with self._lock:
+            self.flush_supervision()
+            if not self._pending_supervision:
+                return
+            pending, self._pending_supervision = self._pending_supervision, []
+            all_counts = np.asarray(jnp.stack([c for _, c in pending]))
         for (nodes, _), counts in zip(pending, all_counts):
             for i, n in enumerate(nodes):
                 n._has_supervision = bool(counts[i] > 0)
@@ -353,23 +369,34 @@ class TraversabilityEstimator:
         success = self._mission_graph.add_node(node)
         if not (success and node.use_for_training):
             return None
-        # pending footprint updates reference buffer slots by index;
-        # apply them before a slot can be recycled
-        if self._slot_to_node.get(self._next_slot % self._buffer.capacity) is not None:
-            self.flush_supervision()
-        slot = self._next_slot % self._buffer.capacity
-        self._next_slot += 1
-        node.buffer_slot = slot
-        evicted = self._slot_to_node.pop(slot, None)
-        if evicted is not None:
-            evicted._has_supervision = False
-            evicted.buffer_slot = -1
-        self._slot_to_node[slot] = node
+        with self._lock:
+            # pending footprint updates reference buffer slots by index;
+            # apply them before a slot can be recycled
+            if self._slot_to_node.get(self._next_slot % self._buffer.capacity) is not None:
+                self.flush_supervision()
+            slot = self._next_slot % self._buffer.capacity
+            self._next_slot += 1
+            node.buffer_slot = slot
+            evicted = self._slot_to_node.pop(slot, None)
+            if evicted is not None:
+                evicted._has_supervision = False
+                evicted.buffer_slot = -1
+            self._slot_to_node[slot] = node
         return slot
 
     def commit_buffer(self, new_buffer: MissionBuffer):
-        """Adopt a buffer updated by an external fused program."""
-        self._buffer = new_buffer
+        """Adopt a buffer updated by an external fused program. The
+        caller must hold `self.lock` from before the program consumed
+        (donated) the previous buffer — see WVNRuntime.image_callback."""
+        with self._lock:
+            self._buffer = new_buffer
+
+    @property
+    def lock(self) -> "threading.RLock":
+        """The single lock serializing mission-buffer access. External
+        fused programs that donate the buffer (runtime/_frame_and_insert)
+        must hold it across read->dispatch->commit."""
+        return self._lock
 
     def add_mission_node(
         self,
@@ -382,18 +409,19 @@ class TraversabilityEstimator:
     ) -> bool:
         """Gate by travel distance, then write the training payload into
         the device ring buffer (reference add_mission_node, :165-196)."""
-        slot = self.allocate_slot(node)
-        if slot is None:
-            return False
-        self._buffer = buffer_insert(
-            self._buffer,
-            jnp.asarray(slot),
-            jnp.asarray(features, jnp.float32),
-            jnp.asarray(feat_valid, bool),
-            jnp.asarray(seg),
-            jnp.asarray(K_scaled, jnp.float32),
-            jnp.asarray(node.pose_cam_in_world, jnp.float32),
-        )
+        with self._lock:
+            slot = self.allocate_slot(node)
+            if slot is None:
+                return False
+            self._buffer = buffer_insert(
+                self._buffer,
+                jnp.asarray(slot),
+                jnp.asarray(features, jnp.float32),
+                jnp.asarray(feat_valid, bool),
+                jnp.asarray(seg),
+                jnp.asarray(K_scaled, jnp.float32),
+                jnp.asarray(node.pose_cam_in_world, jnp.float32),
+            )
         if verbose:
             print(f"adding node [{node}], total nodes [{self._mission_graph.get_num_nodes()}]")
         return True
@@ -442,14 +470,15 @@ class TraversabilityEstimator:
 
         # Queue the update; flush applies up to `_flush_every` of them
         # in one device program. Counts readback stays deferred too.
-        self._pending_footprints.append((idx, footprint.astype(np.float32),
-                                         float(pnode.traversability), mission_nodes))
-        if len(self._pending_footprints) >= self._flush_every:
-            self.flush_supervision()
+        with self._lock:
+            self._pending_footprints.append((idx, footprint.astype(np.float32),
+                                             float(pnode.traversability), mission_nodes))
+            if len(self._pending_footprints) >= self._flush_every:
+                self.flush_supervision()
 
-        if self._mode == WVNMode.EXTRACT_LABELS and self._extraction_store_folder:
-            self.flush_supervision()
-            self._export_supervision_masks(mission_nodes)
+            if self._mode == WVNMode.EXTRACT_LABELS and self._extraction_store_folder:
+                self.flush_supervision()
+                self._export_supervision_masks(mission_nodes)
         return True
 
     def _export_supervision_masks(self, mission_nodes):
@@ -468,19 +497,21 @@ class TraversabilityEstimator:
         fewer valid nodes than batch_size (fixed shapes)."""
         self._resolve_pending_supervision()
         batch_size = batch_size or self._batch_size
-        valid = [n for n in self._mission_graph.get_valid_nodes() if n.buffer_slot >= 0]
-        if not valid:
-            return None
-        slots = np.array([n.buffer_slot for n in valid], dtype=np.int32)
+        with self._lock:
+            valid = [n for n in self._mission_graph.get_valid_nodes() if n.buffer_slot >= 0]
+            if not valid:
+                return None
+            slots = np.array([n.buffer_slot for n in valid], dtype=np.int32)
         return np.random.choice(slots, size=batch_size, replace=len(slots) < batch_size)
 
     def make_batch(self, batch_size: Optional[int] = None):
         """Sample random valid nodes and gather their training arrays
         (reference make_batch, :431-446)."""
-        idx = self.sample_batch_indices(batch_size)
-        if idx is None:
-            return None
-        return self._gather_batch(self._buffer, jnp.asarray(idx))
+        with self._lock:
+            idx = self.sample_batch_indices(batch_size)
+            if idx is None:
+                return None
+            return self._gather_batch(self._buffer, jnp.asarray(idx))
 
     def train(self, convert_losses: bool = True) -> dict:
         """One optimization step (reference train(), :448-497).
@@ -495,33 +526,35 @@ class TraversabilityEstimator:
         num_valid = self._mission_graph.get_num_valid_nodes()
         return_dict = {"mission_graph_num_valid_node": num_valid}
         if num_valid > self._min_samples_for_training:
-            idx = self.sample_batch_indices(self._batch_size)
-            if idx is not None:
-                with self._learning_lock:
-                    self._params, self._opt_state, self._cg_state, loss, aux = self._train_step_fn(
-                        self._params, self._opt_state, self._cg_state, self._buffer, jnp.asarray(idx)
-                    )
-                self._step += 1
-                if self._log_confidence_folder and self._step % self._log_every == 0:
-                    os.makedirs(self._log_confidence_folder, exist_ok=True)
-                    np.savez(
-                        os.path.join(self._log_confidence_folder, f"samples_{self._step:06d}.npz"),
-                        mean=np.asarray(self._cg_state.mean),
-                        std=np.asarray(self._cg_state.std),
-                        var=np.asarray(self._cg_state.var),
-                        loss=np.asarray(loss),
-                    )
-                if convert_losses:
-                    self._loss = float(loss)
-                    return_dict["loss_total"] = self._loss
-                    return_dict["loss_trav"] = float(aux["loss_trav"])
-                    return_dict["loss_reco"] = float(aux["loss_reco"])
-                else:
-                    self._loss_dev = loss
-                    return_dict["loss_total"] = loss
-                    return_dict["loss_trav"] = aux["loss_trav"]
-                    return_dict["loss_reco"] = aux["loss_reco"]
-                return return_dict
+            with self._lock:
+                idx = self.sample_batch_indices(self._batch_size)
+                if idx is None:
+                    return_dict["loss_total"] = -1
+                    return return_dict
+                self._params, self._opt_state, self._cg_state, loss, aux = self._train_step_fn(
+                    self._params, self._opt_state, self._cg_state, self._buffer, jnp.asarray(idx)
+                )
+            self._step += 1
+            if self._log_confidence_folder and self._step % self._log_every == 0:
+                os.makedirs(self._log_confidence_folder, exist_ok=True)
+                np.savez(
+                    os.path.join(self._log_confidence_folder, f"samples_{self._step:06d}.npz"),
+                    mean=np.asarray(self._cg_state.mean),
+                    std=np.asarray(self._cg_state.std),
+                    var=np.asarray(self._cg_state.var),
+                    loss=np.asarray(loss),
+                )
+            if convert_losses:
+                self._loss = float(loss)
+                return_dict["loss_total"] = self._loss
+                return_dict["loss_trav"] = float(aux["loss_trav"])
+                return_dict["loss_reco"] = float(aux["loss_reco"])
+            else:
+                self._loss_dev = loss
+                return_dict["loss_total"] = loss
+                return_dict["loss_trav"] = aux["loss_trav"]
+                return_dict["loss_reco"] = aux["loss_reco"]
+            return return_dict
         return_dict["loss_total"] = -1
         return return_dict
 
@@ -604,11 +637,12 @@ class TraversabilityEstimator:
     def save_graph(self, mission_path: str):
         """Mission-graph dataset export for offline training (reference
         :347-375): per-node features / signals / masks as npz."""
-        self.flush_supervision()
+        with self._lock:
+            self.flush_supervision()
+            buf = self._buffer
+            feats, sig, sv = np.asarray(buf.features), np.asarray(buf.signal), np.asarray(buf.signal_valid)
+            seg = np.asarray(buf.seg)
         os.makedirs(mission_path, exist_ok=True)
-        buf = self._buffer
-        feats, sig, sv = np.asarray(buf.features), np.asarray(buf.signal), np.asarray(buf.signal_valid)
-        seg = np.asarray(buf.seg)
         for node in self._mission_graph.get_valid_nodes():
             s = node.buffer_slot
             if s < 0:
@@ -619,13 +653,16 @@ class TraversabilityEstimator:
             )
 
     def reset(self):
-        self._mission_graph.clear()
-        self._supervision_graph.clear()
-        self._buffer = buffer_init(self._buffer.capacity, self._S, self._D, self._H, self._W)
-        self._slot_to_node = {}
-        self._next_slot = 0
-        self._cg_state = confidence_init()
-        self._step = 0
+        with self._lock:
+            self._mission_graph.clear()
+            self._supervision_graph.clear()
+            self._pending_footprints = []
+            self._pending_supervision = []
+            self._buffer = buffer_init(self._buffer.capacity, self._S, self._D, self._H, self._W)
+            self._slot_to_node = {}
+            self._next_slot = 0
+            self._cg_state = confidence_init()
+            self._step = 0
 
     # ------------------------------------------------- whole-object pickle
     # (reference traversability_estimator.py:318-345 pickles the entire
@@ -634,17 +671,18 @@ class TraversabilityEstimator:
     def __getstate__(self):
         self._resolve_pending_supervision()
         # (resolve flushes pending footprints first)
-        state = self.__dict__.copy()
-        state["_pending_supervision"] = []
-        state["_pending_footprints"] = []
-        # locks, jitted closures, and the optax transformation (local
-        # closures) are rebuilt in __setstate__
-        for k in ("_learning_lock", "_reproject_update", "_train_step_fn", "_gather_batch", "_tx"):
-            state.pop(k, None)
-        state["_buffer"] = jax.tree_util.tree_map(np.asarray, self._buffer)
-        state["_params"] = jax.tree_util.tree_map(np.asarray, self._params)
-        state["_opt_state"] = jax.tree_util.tree_map(np.asarray, self._opt_state)
-        state["_cg_state"] = jax.tree_util.tree_map(np.asarray, self._cg_state)
+        with self._lock:
+            state = self.__dict__.copy()
+            state["_pending_supervision"] = []
+            state["_pending_footprints"] = []
+            # locks, jitted closures, and the optax transformation (local
+            # closures) are rebuilt in __setstate__
+            for k in ("_lock", "_reproject_update", "_train_step_fn", "_gather_batch", "_tx"):
+                state.pop(k, None)
+            state["_buffer"] = jax.tree_util.tree_map(np.asarray, self._buffer)
+            state["_params"] = jax.tree_util.tree_map(np.asarray, self._params)
+            state["_opt_state"] = jax.tree_util.tree_map(np.asarray, self._opt_state)
+            state["_cg_state"] = jax.tree_util.tree_map(np.asarray, self._cg_state)
         return state
 
     def __setstate__(self, state):
@@ -653,7 +691,7 @@ class TraversabilityEstimator:
         self._params = jax.tree_util.tree_map(jnp.asarray, self._params)
         self._opt_state = jax.tree_util.tree_map(jnp.asarray, self._opt_state)
         self._cg_state = jax.tree_util.tree_map(jnp.asarray, self._cg_state)
-        self._learning_lock = threading.Lock()
+        self._lock = threading.RLock()
         self._tx = optax.adam(self._lr)
         self._build_jitted()
 

@@ -3,9 +3,11 @@
 Re-design of the reference's networkx-backed graphs
 (/root/reference/wild_visual_navigation/traversability_estimator/graphs.py:14-316).
 The reference stored CUDA tensors inside networkx node attributes; here
-the graph is a plain ordered list of light nodes plus a parallel numpy
-pose/timestamp array — radius and timespan queries are vectorized
-numpy, and the heavy per-node tensors live in the estimator's device
+the graph is a plain ordered list of light nodes plus PARALLEL numpy
+pose (N, 4, 4) / timestamp (N,) arrays kept in sync on insert/evict —
+radius-range queries, window eviction, and timespan queries are one
+vectorized batched-SE(3) / boolean-mask op each instead of per-pair
+python loops. The heavy per-node tensors live in the estimator's device
 ring buffer. Same public API surface (add_node gating by min edge
 distance, radius-range / timespan queries, random valid nodes, window
 eviction variants). Thread-safe via one mutex like the reference
@@ -18,7 +20,11 @@ import random
 import threading
 from typing import List, Optional
 
-from .nodes import BaseNode
+import numpy as np
+
+from .nodes import BaseNode, se3_trans_dist_batch_np
+
+_INITIAL_CAPACITY = 64
 
 
 class BaseGraph:
@@ -29,6 +35,8 @@ class BaseGraph:
         self._lock = threading.Lock()
         self._nodes: List[BaseNode] = []
         self._first_node: Optional[BaseNode] = None
+        self._poses = np.zeros((_INITIAL_CAPACITY, 4, 4))
+        self._stamps = np.zeros((_INITIAL_CAPACITY,))
 
     # pickling support (reference graphs.py:37-46)
     def __getstate__(self):
@@ -43,12 +51,42 @@ class BaseGraph:
     def __str__(self):
         return f"graph with {len(self._nodes)} nodes"
 
+    # ------------------------------------------------ array bookkeeping
+    def _append(self, node: BaseNode):
+        """Append under the lock, growing the parallel arrays 2x."""
+        n = len(self._nodes)
+        if n == self._poses.shape[0]:
+            self._poses = np.concatenate([self._poses, np.zeros_like(self._poses)])
+            self._stamps = np.concatenate([self._stamps, np.zeros_like(self._stamps)])
+        self._poses[n] = node.pose_base_in_world
+        self._stamps[n] = node.timestamp
+        self._nodes.append(node)
+
+    def _apply_keep(self, keep: np.ndarray):
+        """Compact nodes + arrays to keep[i] == True, under the lock."""
+        if keep.all():
+            return
+        idx = np.flatnonzero(keep)
+        self._poses[: len(idx)] = self._poses[idx]
+        self._stamps[: len(idx)] = self._stamps[idx]
+        self._nodes = [self._nodes[i] for i in idx]
+
+    def _distances_to(self, node: BaseNode) -> np.ndarray:
+        """Vectorized SE(3) translational distance from `node` to every
+        stored node (call under the lock)."""
+        n = len(self._nodes)
+        with np.errstate(invalid="ignore"):
+            return se3_trans_dist_batch_np(
+                np.asarray(node.pose_base_in_world, dtype=np.float64), self._poses[:n]
+            )
+
+    # ----------------------------------------------------------- mutate
     def add_node(self, node: BaseNode) -> bool:
         with self._lock:
             if self._nodes and self._edge_distance > 0:
                 if self._nodes[-1].distance_to(node) < self._edge_distance:
                     return False
-            self._nodes.append(node)
+            self._append(node)
             if self._first_node is None:
                 self._first_node = node
             self._evict(node)
@@ -60,7 +98,24 @@ class BaseGraph:
     def clear(self):
         with self._lock:
             self._nodes = []
+            self._poses = np.zeros((_INITIAL_CAPACITY, 4, 4))
+            self._stamps = np.zeros((_INITIAL_CAPACITY,))
 
+    def remove_nodes(self, nodes: List[BaseNode]):
+        with self._lock:
+            drop = {id(n) for n in nodes}
+            keep = np.array([id(n) not in drop for n in self._nodes], dtype=bool)
+            self._apply_keep(keep)
+
+    def remove_nodes_within_radius_range(self, node: BaseNode, min_radius: float, max_radius: float):
+        to_remove = self.get_nodes_within_radius_range(node, min_radius, max_radius)
+        self.remove_nodes(to_remove)
+
+    def remove_nodes_within_timestamp(self, t_ini: float, t_end: float):
+        to_remove = self.get_nodes_within_timespan(t_ini, t_end)
+        self.remove_nodes(to_remove)
+
+    # ------------------------------------------------------------ query
     def get_first_node(self):
         return self._first_node
 
@@ -99,50 +154,37 @@ class BaseGraph:
 
     def get_node_with_timestamp(self, timestamp: float, eps: float = 1e-12):
         with self._lock:
-            best = None
-            for node in self._nodes:
-                if abs(node.timestamp - timestamp) < eps:
-                    if best is None or abs(node.timestamp - timestamp) < abs(best.timestamp - timestamp):
-                        best = node
-            return best
+            n = len(self._nodes)
+            if n == 0:
+                return None
+            diffs = np.abs(self._stamps[:n] - timestamp)
+            i = int(np.argmin(diffs))
+            return self._nodes[i] if diffs[i] < eps else None
 
     def get_nodes_within_radius_range(
         self, node: BaseNode, min_radius: float, max_radius: float, time_eps: float = 1.0
     ) -> List[BaseNode]:
-        """Euclidean-gated pose-distance query. The reference runs
-        single-source Dijkstra over the chain graph (graphs.py:154-184),
-        whose path distance over a chain equals summed consecutive edge
-        lengths; for window sizes of a few meters the direct SE(3)
-        distance matches it on robot trajectories and is O(N) vectorized
-        instead of O(N log N) python."""
+        """Pose-distance query, one vectorized batched-SE(3) op. The
+        reference runs single-source Dijkstra over the chain graph
+        (graphs.py:154-184), whose path distance over a chain equals
+        summed consecutive edge lengths; for window sizes of a few
+        meters the direct SE(3) distance matches it on robot
+        trajectories and is O(N) vectorized instead of O(N log N)
+        python. Degenerate poses yield NaN distances and are excluded
+        (the reference's per-pair try/except)."""
         with self._lock:
-            out = []
-            for other in self._nodes:
-                try:
-                    d = node.distance_to(other)
-                except Exception:
-                    continue
-                if min_radius <= d <= max_radius:
-                    out.append(other)
-            return sorted(out)
+            d = self._distances_to(node)
+            mask = (d >= min_radius) & (d <= max_radius)
+            return sorted(self._nodes[i] for i in np.flatnonzero(mask))
 
     def get_nodes_within_timespan(self, t_ini: float, t_end: float, open_interval: bool = False) -> List[BaseNode]:
         with self._lock:
+            s = self._stamps[: len(self._nodes)]
             if open_interval:
-                return sorted(n for n in self._nodes if t_ini < n.timestamp < t_end)
-            return sorted(n for n in self._nodes if t_ini <= n.timestamp <= t_end)
-
-    def remove_nodes(self, nodes: List[BaseNode]):
-        with self._lock:
-            self._nodes = [n for n in self._nodes if n not in nodes]
-
-    def remove_nodes_within_radius_range(self, node: BaseNode, min_radius: float, max_radius: float):
-        to_remove = self.get_nodes_within_radius_range(node, min_radius, max_radius)
-        self.remove_nodes(to_remove)
-
-    def remove_nodes_within_timestamp(self, t_ini: float, t_end: float):
-        to_remove = self.get_nodes_within_timespan(t_ini, t_end)
-        self.remove_nodes(to_remove)
+                mask = (s > t_ini) & (s < t_end)
+            else:
+                mask = (s >= t_ini) & (s <= t_end)
+            return sorted(self._nodes[i] for i in np.flatnonzero(mask))
 
 
 class MaxElementsGraph(BaseGraph):
@@ -153,9 +195,10 @@ class MaxElementsGraph(BaseGraph):
         self._max_elements = max_elements
 
     def _evict(self, new_node: BaseNode):
-        if self._max_elements > 0:
-            while len(self._nodes) > self._max_elements:
-                self._nodes.pop(0)
+        n = len(self._nodes)
+        if self._max_elements > 0 and n > self._max_elements:
+            keep = np.arange(n) >= (n - self._max_elements)
+            self._apply_keep(keep)
 
 
 class TemporalWindowGraph(BaseGraph):
@@ -166,8 +209,9 @@ class TemporalWindowGraph(BaseGraph):
         self._time_window = time_window
 
     def _evict(self, new_node: BaseNode):
-        t_min = new_node.timestamp - self._time_window
-        self._nodes = [n for n in self._nodes if n.timestamp >= t_min]
+        n = len(self._nodes)
+        keep = self._stamps[:n] >= (new_node.timestamp - self._time_window)
+        self._apply_keep(keep)
 
 
 class DistanceWindowGraph(BaseGraph):
@@ -183,11 +227,6 @@ class DistanceWindowGraph(BaseGraph):
         return self._max_distance
 
     def _evict(self, new_node: BaseNode):
-        kept = []
-        for n in self._nodes:
-            try:
-                if n.distance_to(new_node) <= self._max_distance:
-                    kept.append(n)
-            except Exception:
-                pass
-        self._nodes = kept
+        d = self._distances_to(new_node)
+        keep = d <= self._max_distance  # NaN distances are dropped
+        self._apply_keep(keep)

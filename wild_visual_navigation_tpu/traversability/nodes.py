@@ -21,13 +21,23 @@ import numpy as np
 
 
 def _so3_log_np(R: np.ndarray) -> np.ndarray:
-    tr = np.clip((np.trace(R) - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
+    tr = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
     theta = np.arccos(tr)
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    if tr < -1.0 + 1e-5:
+        # theta ~ pi: vee(R - R^T) degenerates; recover the axis from
+        # (R + R^T)/2 - cos(t) I = (1 - cos t) a a^T (dominant column),
+        # sign from the residual skew part (immaterial at exactly pi).
+        S = 0.5 * (R + R.T) - tr * np.eye(3)
+        col = S[:, int(np.argmax(np.diag(S)))]
+        axis = col / (np.linalg.norm(col) + 1e-12)
+        if float(axis @ w) < 0.0:
+            axis = -axis
+        return theta * axis
     if theta < 1e-6:
         scale = 0.5 + theta * theta / 12.0
     else:
         scale = theta / (2.0 * np.sin(theta))
-    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
     return scale * w
 
 
@@ -54,6 +64,70 @@ def se3_log_translation_np(T: np.ndarray) -> np.ndarray:
 def pose_distance_np(T_a: np.ndarray, T_b: np.ndarray) -> float:
     rel = np.linalg.inv(T_a) @ T_b
     return float(np.linalg.norm(se3_log_translation_np(rel)))
+
+
+def _so3_log_batch_np(R: np.ndarray) -> np.ndarray:
+    """Vectorized _so3_log_np over a batch (N, 3, 3) -> (N, 3), with the
+    same theta~0 series and theta~pi axis-recovery branches."""
+    tr = np.clip((R[:, 0, 0] + R[:, 1, 1] + R[:, 2, 2] - 1.0) * 0.5, -1.0, 1.0)
+    theta = np.arccos(tr)
+    theta2 = theta * theta
+    w = np.stack(
+        [R[:, 2, 1] - R[:, 1, 2], R[:, 0, 2] - R[:, 2, 0], R[:, 1, 0] - R[:, 0, 1]], axis=-1
+    )
+    small = theta2 < 1e-12
+    near_pi = tr < -1.0 + 1e-5
+    sin_safe = np.where(small | near_pi, 1.0, np.sin(theta))
+    scale = np.where(small, 0.5 + theta2 / 12.0, theta / (2.0 * sin_safe))
+    out = scale[:, None] * w
+    if near_pi.any():
+        S = 0.5 * (R + np.swapaxes(R, -1, -2)) - tr[:, None, None] * np.eye(3)
+        diag = np.stack([S[:, 0, 0], S[:, 1, 1], S[:, 2, 2]], axis=-1)
+        k = np.argmax(diag, axis=-1)
+        col = S[np.arange(R.shape[0]), :, k]
+        axis = col / (np.linalg.norm(col, axis=-1, keepdims=True) + 1e-12)
+        sgn = np.where(np.sum(axis * w, axis=-1) < 0.0, -1.0, 1.0)
+        out = np.where(near_pi[:, None], (theta * sgn)[:, None] * axis, out)
+    return out
+
+
+def se3_trans_dist_batch_np(T0: np.ndarray, Ts: np.ndarray) -> np.ndarray:
+    """||se3_log(T0^{-1} T_n)[:3]|| for a pose batch, fully vectorized.
+
+    T0: (4, 4); Ts: (N, 4, 4) -> (N,). Matches pose_distance_np
+    elementwise — this is the hot radius-range / window-eviction query
+    (reference graphs.py:154-184 ran per-pair liegroups on host)."""
+    if Ts.shape[0] == 0:
+        return np.zeros((0,))
+    R0, t0 = T0[:3, :3], T0[:3, 3]
+    R = Ts[:, :3, :3]
+    t = Ts[:, :3, 3]
+    R_rel = np.einsum("ji,njk->nik", R0, R)  # R0^T R_n
+    t_rel = (t - t0) @ R0  # row-vector form of R0^T (t_n - t0)
+    phi = _so3_log_batch_np(R_rel)
+    theta2 = np.sum(phi * phi, axis=-1)
+    small = theta2 < 1e-12
+    theta2_safe = np.where(small, 1.0, theta2)
+    theta = np.sqrt(theta2_safe)
+    half = theta * 0.5
+    cot_coeff = np.where(
+        small,
+        1.0 / 12.0 + theta2 / 720.0,
+        (1.0 - half * np.cos(half) / np.where(small, 1.0, np.sin(half))) / theta2_safe,
+    )
+    x, y, z = phi[:, 0], phi[:, 1], phi[:, 2]
+    zero = np.zeros_like(x)
+    K = np.stack(
+        [
+            np.stack([zero, -z, y], axis=-1),
+            np.stack([z, zero, -x], axis=-1),
+            np.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+    Jinv = np.eye(3) - 0.5 * K + cot_coeff[:, None, None] * (K @ K)
+    rho = np.einsum("nij,nj->ni", Jinv, t_rel)
+    return np.linalg.norm(rho, axis=-1)
 
 
 @dataclass

@@ -69,19 +69,36 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Log map of SO(3). R: (..., 3, 3) -> (..., 3).
 
-    Handles the theta ~ 0 case via series; theta ~ pi is clamped (the
-    reference never evaluates there in its hot paths).
+    Branch-free over three regimes: series near theta ~ 0, the generic
+    theta/(2 sin theta) formula, and an axis-from-symmetric-part
+    construction near theta ~ pi where vee(R - R^T) degenerates to zero
+    (matching liegroups' full-range behavior the reference relies on).
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
     theta = jnp.arccos(cos_theta)
     theta2 = theta * theta
     small = theta2 < 1e-8
-    sin_safe = jnp.where(small, 1.0, jnp.sin(theta))
+    near_pi = cos_theta < -1.0 + 1e-5
+    w = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
+    sin_safe = jnp.where(small | near_pi, 1.0, jnp.sin(theta))
     # theta / (2 sin(theta)) with series fallback 1/2 + theta^2/12
     scale = jnp.where(small, 0.5 + theta2 / 12.0, theta / (2.0 * sin_safe))
-    w = vee(R - jnp.swapaxes(R, -1, -2))
-    return scale[..., None] * w
+    generic = scale[..., None] * w
+
+    # Near pi: R ~ cos(t) I + (1-cos t) a a^T, so the outer product
+    # (R + R^T)/2 - cos(t) I = (1-cos t) a a^T yields the axis from its
+    # dominant column; the residual skew part fixes the sign (at exactly
+    # pi the sign is immaterial — +pi*a and -pi*a are the same rotation).
+    eye = jnp.eye(3, dtype=R.dtype)
+    S = 0.5 * (R + jnp.swapaxes(R, -1, -2)) - cos_theta[..., None, None] * eye
+    diag = jnp.diagonal(S, axis1=-2, axis2=-1)
+    onehot = jax.nn.one_hot(jnp.argmax(diag, axis=-1), 3, dtype=R.dtype)
+    col = jnp.einsum("...ij,...j->...i", S, onehot, precision=jax.lax.Precision.HIGHEST)
+    axis = col / (jnp.linalg.norm(col, axis=-1, keepdims=True) + _EPS)
+    sgn = jnp.where(jnp.sum(axis * w, axis=-1) < 0.0, -1.0, 1.0)
+    pi_val = (theta * sgn)[..., None] * axis
+    return jnp.where(near_pi[..., None], pi_val, generic)
 
 
 def so3_from_rpy(rpy: jnp.ndarray) -> jnp.ndarray:
