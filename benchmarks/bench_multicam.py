@@ -1,17 +1,26 @@
-"""BASELINE config-5 benchmark: multi-camera DINOv2 ViT-B @ 644 px with
-interleaved training.
+"""BASELINE config-5 benchmark: full multi-camera pipeline at ViT-B @644.
 
-Simulates the full-pipeline operating point (BASELINE.md config 5):
-N cameras' frames batched into one fused inference program (ViT-B/14 at
-644 px -> 2116 tokens/frame) while train steps run interleaved on the
-same chip. Reports per-camera sustainable frame rate and the training
-rate achieved alongside.
+All four components of the config ("Full multi-camera pipeline:
+optical flow + mission-graph accumulation", BASELINE.json configs[4]):
 
-Method (see bench.py): distinct host-generated inputs via device_put,
-every iteration chained through a data dependency on the previous
-outputs (both the inference result and the train loss), and the timing
-fenced by an actual value download at the end — block_until_ready is
-not a reliable fence through the dev relay.
+  1. fused inference — N cameras batched into one program
+     (DINOv2 ViT-B/14 @ 644 px -> 2116 tokens/frame -> MLP scoring);
+  2. optical flow — pyramidal-LK tracking of 64 keypoints between
+     consecutive frames of one camera (ops/optical_flow.py);
+  3. mission-graph accumulation — one footprint reprojected into a
+     32-view supervision buffer: project + hull-rasterize + pessimistic
+     min-fusion + per-segment signal means (the estimator's
+     _reproject_update hot path);
+  4. train step — head-only confidence-weighted loss + Adam (batch 8).
+
+Reports the chained full-cycle rate (per-camera Hz, img/s) AND
+per-stage p50/p95 latencies. Per-stage latencies are measured with a
+value-download fence per iteration, so they include one relay round
+trip each — an upper bound on true device latency (the chained cycle
+number amortizes it away).
+
+Method notes: see bench.py (distinct inputs, carry chaining, value
+fence; block_until_ready is not a reliable fence through the relay).
 """
 
 from __future__ import annotations
@@ -25,32 +34,45 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
+def _percentiles(ts):
+    import numpy as np
+
+    a = np.asarray(sorted(ts))
+    return round(float(np.percentile(a, 50)) * 1e3, 2), round(float(np.percentile(a, 95)) * 1e3, 2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cameras", type=int, default=4)
     ap.add_argument("--size", type=int, default=644)
     ap.add_argument("--backbone_type", type=str, default="vit_base")
-    # Long chains matter: the relay's fixed warmup (~1-2 s) amortizes
-    # over the chain; at 10 iters it inflated the cycle time ~2x.
     ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--lat_iters", type=int, default=20)
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
     import optax
 
     from wild_visual_navigation_tpu.models import get_model
     from wild_visual_navigation_tpu.models.vit import make_vit
+    from wild_visual_navigation_tpu.ops.optical_flow import track_points
+    from wild_visual_navigation_tpu.ops.projection import Camera
+    from wild_visual_navigation_tpu.ops.rasterize import project_and_render
+    from wild_visual_navigation_tpu.ops.segment_ops import segment_masked_mean
     from wild_visual_navigation_tpu.runtime.fused import build_fused_batch_fn
     from wild_visual_navigation_tpu.utils import (
-        TraversabilityLossConfig,
         TravBatch,
+        TraversabilityLossConfig,
         confidence_init,
         traversability_loss,
     )
 
     size = (args.size // 14) * 14
     B = args.cameras
+    FAN = 32  # reprojection fan-out (mission-buffer views per footprint)
+    S = 100  # segments
     vit = make_vit("dinov2", args.backbone_type, 14, attention_impl="xla")
     key = jax.random.PRNGKey(0)
     vit_params = vit.init(key, jnp.zeros((1, 3, size, size)))
@@ -62,7 +84,24 @@ def main():
     mlp_params = mlp.init(jax.random.PRNGKey(1), jnp.zeros((1, D)))
     infer = build_fused_batch_fn(vit, mlp, size, B)
 
-    # training side (head-only, batch 8 x 100 segments)
+    # --- stage 2: optical flow (one camera, 64 tracked points)
+    flow_fn = jax.jit(lambda a, b, pts: track_points(a, b, pts))
+
+    # --- stage 3: mission-graph accumulation (the estimator's
+    # _reproject_update semantics for one footprint over FAN views)
+    @jax.jit
+    def supervise(masks, seg, Ks, poses, footprint, trav):
+        cam = Camera(K=Ks, height=size, width=size)
+        pts = jnp.broadcast_to(footprint[None], (FAN, footprint.shape[0], 3))
+        inside, _, _ = project_and_render(cam, poses, pts)
+        vals = jnp.where(inside, trav, jnp.inf)
+        fused = jnp.minimum(masks, vals)
+        sig, sv = jax.vmap(lambda m, s: segment_masked_mean(m, jnp.isfinite(m), s, S))(
+            fused, jnp.broadcast_to(seg[None], (FAN,) + seg.shape)
+        )
+        return fused, sig, sv
+
+    # --- stage 4: train step (head-only, batch 8 x S segments)
     tx = optax.adam(1e-3)
     opt_state = tx.init(mlp_params)
     cg = confidence_init()
@@ -82,37 +121,90 @@ def main():
         updates, opt2 = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt2, cg2, loss
 
-    import numpy as np
-
+    # --- inputs
     rng = np.random.RandomState(0)
-    frames = [jax.device_put(rng.rand(B, 3, size, size).astype(np.float32)) for i in range(args.iters)]
-    xs = [jax.device_put(rng.randn(8, 100, D).astype(np.float32)) for i in range(args.iters)]
-    ys = [jax.device_put(rng.rand(8, 100).astype(np.float32)) for i in range(args.iters)]
-    yvs = [jax.device_put(rng.rand(8, 100) < 0.5) for i in range(args.iters)]
-    jax.block_until_ready((frames, xs, ys, yvs))
+    frames = [jax.device_put(rng.rand(B, 3, size, size).astype(np.float32)) for _ in range(8)]
+    xs = jax.device_put(rng.randn(8, S, D).astype(np.float32))
+    ys = jax.device_put(rng.rand(8, S).astype(np.float32))
+    yvs = jax.device_put(rng.rand(8, S) < 0.5)
+    pts0 = jax.device_put((rng.rand(64, 2) * (size - 40) + 20).astype(np.float32))
+    masks = jnp.full((FAN, size, size), jnp.inf, jnp.float32)
+    seg = jnp.asarray((np.arange(size * size) % S).reshape(size, size), jnp.int32)
+    K = np.array([[400.0, 0, size / 2], [0, 400.0, size / 2], [0, 0, 1]], np.float32)
+    Ks = jnp.asarray(np.tile(K, (FAN, 1, 1)))
+    poses = np.tile(np.eye(4, dtype=np.float32), (FAN, 1, 1))
+    poses[:, :3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)  # down
+    poses[:, 0, 3] = np.linspace(0, 3, FAN)
+    poses[:, 2, 3] = 2.0
+    poses = jnp.asarray(poses)
+    foot = np.zeros((16, 3), np.float32)
+    foot[:, 0] = np.repeat(np.linspace(0.5, 1.5, 8), 2)
+    foot[:, 1] = np.tile([-0.3, 0.3], 8)
+    foot = jnp.asarray(foot)
+    jax.block_until_ready((frames, xs, ys, yvs, pts0, masks, seg, Ks, poses, foot))
 
-    # compile + complete (value download is the only true fence)
+    # --- compile + complete
     fr = infer(vit_params, mlp_params, frames[0])
-    mlp_params, opt_state, cg, loss = train_step(mlp_params, opt_state, cg, xs[0], ys[0], yvs[0])
-    float(jnp.sum(fr) + loss)
+    new_pts, good = flow_fn(frames[0][0], frames[1][0], pts0)
+    masks2, sig, sv = supervise(masks, seg, Ks, poses, foot, 0.9)
+    mp2, opt2, cg2, loss = train_step(mlp_params, opt_state, cg, xs, ys, yvs)
+    float(jnp.sum(fr) + jnp.sum(new_pts) + jnp.sum(sig) + loss)
+    assert int(jnp.sum(sv)) > 0, "supervision rasterization produced no labels"
 
+    # --- per-stage latency distributions (each iteration value-fenced;
+    # includes one relay round trip -> conservative upper bound)
+    def timed(fn_call):
+        ts = []
+        carry = 0.0
+        for i in range(args.lat_iters):
+            t0 = time.time()
+            carry = fn_call(i, carry)
+            ts.append(time.time() - t0)
+        return ts[4:]  # discard warmup
+
+    lat = {}
+    lat["frame"] = timed(lambda i, c: float(jnp.sum(
+        infer(vit_params, mlp_params, frames[i % len(frames)] + c * 1e-12)[0])))
+    lat["flow"] = timed(lambda i, c: float(jnp.sum(
+        flow_fn(frames[i % len(frames)][0] + c * 1e-12, frames[(i + 1) % len(frames)][0], pts0)[0])))
+    lat["supervision"] = timed(lambda i, c: float(jnp.sum(
+        supervise(masks, seg, Ks, poses, foot + c * 1e-12, 0.9)[1])))
+
+    def _train_once(i, c):
+        nonlocal mp2, opt2, cg2
+        mp2, opt2, cg2, loss = train_step(mp2, opt2, cg2, xs + c * 1e-12, ys, yvs)
+        return float(loss)
+
+    lat["train"] = timed(_train_once)
+
+    # --- chained full cycle (all four stages per cycle)
+    mp, opt, cgs = mlp_params, opt_state, cg
+    mk = masks
     t0 = time.time()
     carry = jnp.zeros(())
     for i in range(args.iters):
-        fr = infer(vit_params, mlp_params, frames[i] + carry * 1e-12)
-        mlp_params, opt_state, cg, loss = train_step(
-            mlp_params, opt_state, cg, xs[i] + carry * 1e-12, ys[i], yvs[i])
-        carry = jnp.sum(fr) * 1e-9 + loss * 1e-9
+        f_now = frames[i % len(frames)]
+        f_nxt = frames[(i + 1) % len(frames)]
+        fr = infer(vit_params, mp, f_now + carry * 1e-12)
+        new_pts, good = flow_fn(f_now[0], f_nxt[0], pts0 + carry * 1e-12)
+        mk, sig, sv = supervise(mk, seg, Ks, poses, foot + carry * 1e-12, 0.9)
+        mp, opt, cgs, loss = train_step(mp, opt, cgs, xs + carry * 1e-12, ys, yvs)
+        carry = jnp.sum(fr) * 1e-9 + loss * 1e-9 + jnp.sum(new_pts) * 1e-9 + jnp.sum(sig) * 1e-9
     float(carry)  # value fence
     dt = (time.time() - t0) / args.iters
 
     result = {
-        "config": f"{args.cameras}cam_dinov2_{args.backbone_type}_{size}px_with_training",
+        "config": f"{args.cameras}cam_dinov2_{args.backbone_type}_{size}px_flow_graph_training",
         "cycle_ms": round(dt * 1e3, 2),
         "per_camera_hz": round(1.0 / dt, 2),
         "train_steps_per_sec_interleaved": round(1.0 / dt, 2),
         "images_per_sec": round(B / dt, 2),
     }
+    for name, ts in lat.items():
+        p50, p95 = _percentiles(ts)
+        result[f"{name}_p50_ms"] = p50
+        result[f"{name}_p95_ms"] = p95
+    result["train_p50_under_frame_time"] = bool(result["train_p50_ms"] < dt * 1e3)
     print(json.dumps(result))
 
 

@@ -105,24 +105,64 @@ class Block(nn.Module):
         h = Attention(cfg, self.attention_impl, self.dtype, name="attn")(h)
         if cfg.layerscale_init is not None:
             gamma1 = self.param("ls1_gamma", nn.initializers.constant(cfg.layerscale_init), (cfg.embed_dim,))
-            h = h * gamma1
+            # cast gamma to the activation dtype: an fp32 multiply here
+            # would upcast the residual stream for the rest of the
+            # network, doubling HBM traffic per block
+            h = h * gamma1.astype(h.dtype)
         x = x + h
         h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="norm2")(x)
         h = Mlp(cfg, self.dtype, name="mlp")(h)
         if cfg.layerscale_init is not None:
             gamma2 = self.param("ls2_gamma", nn.initializers.constant(cfg.layerscale_init), (cfg.embed_dim,))
-            h = h * gamma2
+            h = h * gamma2.astype(h.dtype)
         return x + h
+
+
+def _torch_bicubic_matrix(in_size: int, out_size: int, offset: float = 0.1):
+    """(out, in) interpolation matrix replicating torch's
+    upsample_bicubic2d under DINO/DINOv2's interpolate_pos_encoding
+    call: F.interpolate(..., scale_factor=(out+offset)/in,
+    mode="bicubic", align_corners=False, antialias=False). torch uses
+    the GIVEN scale factor for source coords (not out/in), cubic
+    coefficient a=-0.75, and clamps border indices."""
+    import numpy as np
+
+    a = -0.75
+
+    def cubic(x):
+        x = abs(x)
+        if x <= 1.0:
+            return (a + 2.0) * x**3 - (a + 3.0) * x**2 + 1.0
+        if x < 2.0:
+            return a * x**3 - 5.0 * a * x**2 + 8.0 * a * x - 4.0 * a
+        return 0.0
+
+    scale = in_size / (out_size + offset)
+    M = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        x = (i + 0.5) * scale - 0.5
+        i0 = int(np.floor(x))
+        t = x - i0
+        for off in (-1, 0, 1, 2):
+            w = cubic(t - off)
+            M[i, min(max(i0 + off, 0), in_size - 1)] += w
+    return M
 
 
 def _interpolate_pos_embed(pos: jnp.ndarray, grid0: int, hp: int, wp: int) -> jnp.ndarray:
     """Bicubic resize of the (grid0*grid0, D) patch position table to
-    (hp*wp, D); matches DINO/DINOv2's interpolate_pos_encoding."""
+    (hp*wp, D), numerically identical to DINO/DINOv2's
+    interpolate_pos_encoding (torch bicubic a=-0.75 with the +0.1
+    scale-factor offset trick). Shapes are static under jit, so the
+    interpolation reduces to two constant-matrix matmuls."""
     D = pos.shape[-1]
     if (hp, wp) == (grid0, grid0):
         return pos
     grid = pos.reshape(grid0, grid0, D)
-    out = jax.image.resize(grid, (hp, wp, D), method="bicubic")
+    Mh = jnp.asarray(_torch_bicubic_matrix(grid0, hp))
+    Mw = jnp.asarray(_torch_bicubic_matrix(grid0, wp))
+    out = jnp.einsum("oi,ijd->ojd", Mh, grid, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("pj,ojd->opd", Mw, out, precision=jax.lax.Precision.HIGHEST)
     return out.reshape(hp * wp, D)
 
 

@@ -118,8 +118,8 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     sm_scale: float = 1.0,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """softmax(q @ k^T * sm_scale) @ v, tiled.

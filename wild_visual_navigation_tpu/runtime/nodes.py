@@ -303,3 +303,14 @@ class LearningNode:
 
     def reset(self):
         self.runtime.reset()
+
+    def shutdown(self, mission_path: str) -> str:
+        """Graceful shutdown: final mission checkpoint + a last hot-swap
+        write so a restarting inference node rejoins at the latest
+        weights (reference wvn_learning_node.py:148-174)."""
+        from ..utils.confidence_generator import confidence_state_dict
+
+        est = self.runtime.estimator
+        write_hot_swap_state(self._hot_swap_folder, est.params,
+                             confidence_state_dict(est.confidence_state), est.step)
+        return self.runtime.shutdown(mission_path)

@@ -42,6 +42,7 @@ from ..supervision import SupervisionGenerator
 from ..traversability import MissionNode, SupervisionNode, TraversabilityEstimator
 from ..utils.confidence_generator import confidence_inference
 from .scheduler import Scheduler
+from .status import SystemEvents
 
 
 @dataclass
@@ -101,7 +102,17 @@ class WVNRuntime:
         gridmap_size: int = 0,
         gridmap_resolution: float = 0.1,
         supervision_flush_every: int = 1,
+        swallow_callback_errors: bool = False,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with ("dp", "tp") axes
+        (parallel/mesh.py::create_mesh). When given, the backbone params
+        are tensor-parallel-sharded over "tp" (attention heads / MLP
+        hidden) and the multi-camera batched path
+        (`image_batch_callback`) shards frames over "dp" — XLA inserts
+        the collectives. Single-frame callbacks and the train step are
+        unchanged (replicated), so results are identical with and
+        without a mesh."""
         self.fe_params = fe_params or FeatureExtractorNodeParams()
         self.ln_params = ln_params or LearningNodeParams()
         self.exp_params = exp_params or ExperimentParams()
@@ -183,10 +194,16 @@ class WVNRuntime:
 
             self.gridmap = gridmap_init(size=gridmap_size, resolution=gridmap_resolution)
 
+        self.mesh = mesh
         self.system_state = SystemState()
         self.anomaly_detection = anomaly_detection
         self._stop_event = threading.Event()
         self._learning_thread: Optional[threading.Thread] = None
+        # per-callback event journal + failure containment (reference
+        # _system_events, wvn_learning_node.py:446-457; per-callback
+        # try/except keeps the node alive on a bad frame)
+        self.events = SystemEvents()
+        self._swallow_errors = swallow_callback_errors
 
         self._build_jitted()
 
@@ -204,6 +221,14 @@ class WVNRuntime:
             from ..traversability.mission_buffer import buffer_insert_impl
 
             di = self.feature_extractor._extractor
+            if mesh is not None:
+                # tensor-parallel backbone params: attention qkv/proj and
+                # MLP fc1/fc2 split over the "tp" axis; XLA inserts the
+                # one psum per block (parallel/mesh.py::vit_param_spec)
+                from ..parallel import shard_pytree, vit_param_spec
+
+                tp = int(mesh.shape.get("tp", 1))
+                di.params = shard_pytree(di.params, vit_param_spec(di.params, tp=tp), mesh)
             frame_raw = build_fused_frame_fn(
                 di.vit,
                 self.estimator.model,
@@ -231,6 +256,21 @@ class WVNRuntime:
                 return fr, new_buf
 
             self._frame_and_insert = _frame_and_insert
+
+            # Batched multi-camera program: all cameras' frames in ONE
+            # dispatch, dp-sharded over the mesh when one is given
+            # (SURVEY §2.4 multi-camera axis; reference time-shares via
+            # the scheduler instead, wvn_feature_extractor_node.py:283-294).
+            def _frames_batch(vit_params, mlp_params, cg_state, imgs):
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    imgs = jax.lax.with_sharding_constraint(
+                        imgs, NamedSharding(self.mesh, PartitionSpec("dp"))
+                    )
+                return jax.vmap(lambda im: frame_raw(vit_params, mlp_params, cg_state, im[None]))(imgs)
+
+            self._fused_frames_batch = jax.jit(_frames_batch)
 
     # ------------------------------------------------------------ jitted
     def _build_jitted(self):
@@ -300,16 +340,42 @@ class WVNRuntime:
         is the matching zero-copy HWC->CHW ingest).
         Returns None when rate-gated or scheduled out.
         """
+        self.events.record("image_callback_received")
         # rate gate (reference :283-285)
         last = self._last_image_ts.get(camera)
         if last is not None and (stamp - last) < 1.0 / self.fe_params.image_callback_rate:
+            self.events.record("image_callback_canceled", "canceled due to rate")
             return None
         # scheduler arbitration (reference :287-294)
         if self.scheduler.get() != camera:
             self.scheduler.step()
+            self.events.record("image_callback_canceled", "canceled due to scheduler")
             return None
         self.scheduler.step()
         self._last_image_ts[camera] = stamp
+        try:
+            return self._image_callback_body(
+                img, stamp, camera, K, orig_h, orig_w,
+                pose_base_in_world, pose_cam_in_base, prediction_per_pixel,
+            )
+        except Exception as exc:  # journal + contain (reference :395-402)
+            self.events.record_error("image_callback_state", exc)
+            if not self._swallow_errors:
+                raise
+            return None
+
+    def _image_callback_body(
+        self,
+        img,
+        stamp: float,
+        camera: str,
+        K,
+        orig_h: int,
+        orig_w: int,
+        pose_base_in_world,
+        pose_cam_in_base,
+        prediction_per_pixel,
+    ) -> Optional[InferenceResult]:
 
         if prediction_per_pixel is None:
             prediction_per_pixel = self.fe_params.prediction_per_pixel
@@ -396,6 +462,65 @@ class WVNRuntime:
             stamp=stamp,
         )
 
+    def image_batch_callback(
+        self,
+        imgs: np.ndarray,
+        stamps,
+        cameras,
+        Ks: np.ndarray,
+        orig_h: int,
+        orig_w: int,
+        poses_base_in_world: np.ndarray,
+        poses_cam_in_base: np.ndarray,
+    ):
+        """Multi-camera batched path: all B cameras' frames in ONE
+        device program (dp-sharded over the mesh when the runtime was
+        built with one). No rate gate / scheduler — the caller batches
+        synchronized frames explicitly. Returns a list of
+        InferenceResult, one per camera.
+
+        imgs: (B, 3, H0, W0); Ks: (B, 3, 3); poses: (B, 4, 4).
+        """
+        if self._fused_frame is None:
+            raise ValueError("image_batch_callback requires the fused path (use_fused=True, dino backbone)")
+        self.events.record("image_batch_callback_received")
+        B = imgs.shape[0]
+        with self._mailbox_lock:
+            params, cg = self._inference_params, self._inference_cg
+
+        K_scaled = scale_intrinsics(
+            jnp.asarray(Ks), orig_h, orig_w, new_h=self._H,
+            new_w=None if self._W == self._H else self._W,
+        )
+        fr = self._fused_frames_batch(self._vit_params, params, cg, jnp.asarray(imgs))
+
+        results = []
+        for i in range(B):
+            cam = cameras[i]
+            use_for_training = bool(
+                self.fe_params.camera_topics.get(cam, {}).get("use_for_training", True)
+            )
+            node = MissionNode(
+                timestamp=float(stamps[i]),
+                pose_base_in_world=np.asarray(poses_base_in_world[i], dtype=np.float64),
+                pose_cam_in_base=np.asarray(poses_cam_in_base[i], dtype=np.float64),
+                camera_name=cam,
+                use_for_training=use_for_training,
+            )
+            self.estimator.add_mission_node(
+                node, fr.features[i], fr.feat_valid[i], fr.segments[i], K_scaled[i]
+            )
+            if self.gridmap is not None:
+                self._update_gridmap(fr.traversability[i], fr.confidence[i], K_scaled[i],
+                                     node.pose_cam_in_world, node.pose_base_in_world)
+            results.append(InferenceResult(
+                traversability=fr.traversability[i],
+                confidence=fr.confidence[i],
+                camera=cam,
+                stamp=float(stamps[i]),
+            ))
+        return results
+
     # ------------------------------------------------------- supervision
     def robot_state_callback(
         self,
@@ -406,13 +531,27 @@ class WVNRuntime:
         pose_footprint_in_base: Optional[np.ndarray] = None,
     ) -> bool:
         """Proprioception path (reference wvn_learning_node.py:435-548)."""
+        self.events.record("robot_state_callback_received")
         if (
             self._last_supervision_ts is not None
             and (stamp - self._last_supervision_ts) < 1.0 / self.ln_params.supervision_callback_rate
         ):
+            self.events.record("robot_state_callback_canceled", "canceled due to rate")
             return False
         self._last_supervision_ts = stamp
+        try:
+            return self._robot_state_callback_body(
+                stamp, pose_base_in_world, current_twist, desired_twist, pose_footprint_in_base
+            )
+        except Exception as exc:  # journal + contain (reference :540-548)
+            self.events.record_error("robot_state_callback_state", exc)
+            if not self._swallow_errors:
+                raise
+            return False
 
+    def _robot_state_callback_body(
+        self, stamp, pose_base_in_world, current_twist, desired_twist, pose_footprint_in_base
+    ) -> bool:
         trav, var, untrav = self.supervision_generator.update_velocity_tracking(
             np.asarray(current_twist), np.asarray(desired_twist), max_velocity=0.8, velocities=["vx", "vy"]
         )
@@ -445,7 +584,13 @@ class WVNRuntime:
         SystemState carries the last read values in between."""
         log_every = max(1, int(self.ln_params.learning_thread_rate / max(self.ln_params.logging_thread_rate, 1e-9)))
         convert = (self.estimator.step % log_every) == 0
-        res = self.estimator.train(convert_losses=convert)
+        try:
+            res = self.estimator.train(convert_losses=convert)
+        except Exception as exc:
+            self.events.record_error("learning_step_state", exc)
+            if not self._swallow_errors:
+                raise
+            return self.system_state
         st = self.system_state
         st.mission_graph_num_valid_node = res.get("mission_graph_num_valid_node", 0)
         st.step = self.estimator.step
@@ -540,3 +685,37 @@ class WVNRuntime:
     def reset(self):
         self.estimator.reset()
         self.hot_swap()
+
+    # ---------------------------------------------------------- shutdown
+    def shutdown(self, mission_path: Optional[str] = None,
+                 checkpoint_name: str = "last_checkpoint.ckpt") -> Optional[str]:
+        """Graceful shutdown (reference shutdown_callback,
+        wvn_learning_node.py:148-174): stop the learning thread, flush
+        pending supervision, persist a final mission checkpoint, and
+        dump the system-events journal next to it. Returns the
+        checkpoint path (None if no mission_path given)."""
+        self.stop_learning_thread()
+        self.estimator.flush_supervision()
+        path = None
+        if mission_path is not None:
+            path = self.estimator.save_checkpoint(mission_path, checkpoint_name)
+            import os
+
+            self.events.record("shutdown", f"checkpoint stored at {path}")
+            self.events.dump(os.path.join(mission_path, "system_events.json"))
+        return path
+
+    def install_signal_handlers(self, mission_path: str):
+        """Register SIGINT/SIGTERM handlers that persist a final
+        checkpoint before exiting (reference wvn_learning_node.py:148-174
+        registers rospy.on_shutdown + signal handlers). Call from the
+        main thread."""
+        import signal
+
+        def _handler(signum, frame):
+            self.shutdown(mission_path)
+            signal.signal(signum, signal.SIG_DFL)
+            signal.raise_signal(signum)
+
+        signal.signal(signal.SIGINT, _handler)
+        signal.signal(signal.SIGTERM, _handler)

@@ -1,16 +1,55 @@
-"""Status monitoring thread.
+"""Status monitoring + system-events journal.
 
-Equivalent of the reference feature-extractor node's status thread
-(wvn_feature_extractor_node.py:238-271): a periodic table of input
-freshness (last message age per topic/camera) with staleness coloring,
-printed or retrievable as rows for a UI.
+Equivalents of the reference feature-extractor node's status thread
+(wvn_feature_extractor_node.py:238-271) — a periodic table of input
+freshness with staleness coloring — and the learning node's
+`_system_events` journal (wvn_learning_node.py:446-457, 540-548,
+681-688): each callback records received/canceled/failed markers so a
+stalled pipeline is diagnosable after the fact; exceptions are kept in
+a bounded ring.
 """
 
 from __future__ import annotations
 
 import threading
 import time
+import traceback
+from collections import deque
 from typing import Callable, Dict, List, Optional
+
+
+class SystemEvents:
+    """Per-callback event journal (reference `_system_events`). Each
+    event name holds its latest {time, value}; exceptions additionally
+    land in a bounded ring for post-mortem dumps."""
+
+    def __init__(self, max_errors: int = 64):
+        self._events: Dict[str, dict] = {}
+        self._errors: deque = deque(maxlen=max_errors)
+        self._lock = threading.Lock()
+
+    def record(self, name: str, value: str = "message received"):
+        with self._lock:
+            self._events[name] = {"time": time.time(), "value": value}
+
+    def record_error(self, name: str, exc: BaseException):
+        tb = "".join(traceback.format_exception(type(exc), exc, exc.__traceback__))
+        with self._lock:
+            self._events[name] = {"time": time.time(), "value": f"failed: {exc!r}"}
+            self._errors.append({"time": time.time(), "name": name, "error": repr(exc), "traceback": tb})
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return {"events": dict(self._events), "errors": list(self._errors)}
+
+    def dump(self, path: str) -> str:
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.snapshot(), f, indent=2, default=str)
+        return path
 
 
 class StatusMonitor:

@@ -120,6 +120,12 @@ class SupervisionGenerator:
         S = velocity_selection_matrix(velocities)
         cur = np.asarray(current_velocity, dtype=np.float32).reshape(-1)[:6]
         des = np.asarray(desired_velocity, dtype=np.float32).reshape(-1)[:6]
+        # accept short twists (e.g. linear-only (vx, vy, vz)); missing
+        # components read as zero, like an Odometry with empty angular
+        if cur.size < 6:
+            cur = np.pad(cur, (0, 6 - cur.size))
+        if des.size < 6:
+            des = np.pad(des, (0, 6 - des.size))
         error = float(np.mean((S @ cur - S @ des) ** 2)) / max_velocity
         return self._squash(self._kf_step_host(error))
 

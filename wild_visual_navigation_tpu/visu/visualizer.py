@@ -175,6 +175,18 @@ class LearningVisualizer:
                     out[yi, xi] = c
         return self._maybe_store(out, tag)
 
+    @staticmethod
+    def _fig_to_numpy(fig) -> np.ndarray:
+        """matplotlib figure -> (H, W, 3) float RGB (the reference's
+        get_img_from_fig, visu/plotting.py:13)."""
+        import matplotlib.pyplot as plt
+
+        fig.canvas.draw()
+        w, h = fig.canvas.get_width_height()
+        buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8).reshape(h, w, 4)[..., :3]
+        plt.close(fig)
+        return buf.astype(np.float32) / 255.0
+
     def plot_learning_curve(self, steps, losses, tag: str = "learning_curve") -> Optional[np.ndarray]:
         """Loss-vs-step plot via matplotlib (offline/debug path)."""
         import matplotlib
@@ -187,8 +199,216 @@ class LearningVisualizer:
         ax.set_xlabel("step")
         ax.set_ylabel("loss")
         fig.tight_layout()
-        fig.canvas.draw()
-        w, h = fig.canvas.get_width_height()
-        buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8).reshape(h, w, 4)[..., :3]
-        plt.close(fig)
-        return self._maybe_store(buf.astype(np.float32) / 255.0, tag)
+        return self._maybe_store(self._fig_to_numpy(fig), tag)
+
+    def plot_roc(self, x, y, y_lower=None, y_upper=None, y_tag=None,
+                 tag: str = "roc") -> np.ndarray:
+        """ROC curve(s) with optional confidence bands and the chance
+        diagonal (reference plot_roc, visualizer.py:73-125). Accepts a
+        single curve or lists of curves."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        if not isinstance(x, (list, tuple)):
+            x, y = [x], [y]
+            y_lower = [y_lower] if y_lower is not None else None
+            y_upper = [y_upper] if y_upper is not None else None
+            y_tag = [y_tag]
+        n = len(x)
+        y_lower = y_lower or [None] * n
+        y_upper = y_upper or [None] * n
+        y_tag = y_tag or [None] * n
+
+        fig, ax = plt.subplots(figsize=(3, 3))
+        for xi, yi, lo, hi, lab in zip(x, y, y_lower, y_upper, y_tag):
+            (line,) = ax.plot(xi, yi, label=lab)
+            if lo is not None and hi is not None:
+                ax.fill_between(xi, lo, hi, color=line.get_color(), alpha=0.2)
+        diag = np.linspace(0, 1, 100)
+        ax.plot(diag, diag, linestyle="--", color="gray")
+        ax.set_xlabel("False positive rate")
+        ax.set_ylabel("True positive rate")
+        ax.set_xlim(0, 1)
+        ax.set_ylim(0, 1)
+        if any(t is not None for t in y_tag):
+            ax.legend(loc="lower right")
+        fig.tight_layout()
+        return self._maybe_store(self._fig_to_numpy(fig), tag)
+
+    def plot_histogram(self, reco_loss, y, mean, std, tag: str = "histogram") -> np.ndarray:
+        """Reconstruction-loss histogram: all samples vs positive
+        (footprint-labeled) samples, overlaid with the confidence
+        generator's gaussian (reference plot_histogram,
+        visualizer.py:127-139)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        losses = np.asarray(reco_loss, dtype=np.float32).ravel()
+        labels = np.asarray(y).ravel()
+        bins = np.linspace(0, 4, 100)
+        fig, ax = plt.subplots(figsize=(3, 3))
+        ax.hist(losses, bins, alpha=0.5, color="k")
+        ax.hist(losses[labels == 1], bins, alpha=0.5, color="b")
+        std = max(float(std), 1e-6)
+        ax.plot(bins, np.exp(-((bins - float(mean)) ** 2) / (2 * std**2)), color="b", linewidth=3)
+        fig.tight_layout()
+        return self._maybe_store(self._fig_to_numpy(fig), tag)
+
+    def plot_traversability_graph(
+        self,
+        prediction: np.ndarray,
+        edges: np.ndarray,
+        centers: np.ndarray,
+        img: np.ndarray,
+        node_valid: Optional[np.ndarray] = None,
+        edge_valid: Optional[np.ndarray] = None,
+        colorize_invalid_centers: bool = False,
+        radius: int = 5,
+        tag: str = "traversability_graph",
+    ) -> np.ndarray:
+        """Segment-graph rendering on the camera image (reference
+        plot_traversability_graph, visualizer.py:251-309): gray lines
+        along adjacency edges, per-node discs colored by the predicted
+        traversability (RdYlBu); invalid nodes gray unless
+        `colorize_invalid_centers`.
+
+        prediction: (S,) in [0,1]; edges: (2, E) segment-id pairs;
+        centers: (S, 2) (x, y) pixel positions; img: (3, H, W)/(H, W, 3).
+        """
+        from PIL import Image, ImageDraw
+
+        base = (_to_hwc(img) * 255).astype(np.uint8)
+        pil = Image.fromarray(base)
+        draw = ImageDraw.Draw(pil)
+        pred = np.clip(np.asarray(prediction, np.float32), 0, 1)
+        centers = np.asarray(centers, np.float32)
+        S = centers.shape[0]
+        valid = np.ones(S, bool) if node_valid is None else np.asarray(node_valid, bool)
+        colors = (colormap_rdylbu(pred) * 255).astype(np.uint8)
+
+        edges = np.asarray(edges)
+        ev = np.ones(edges.shape[1], bool) if edge_valid is None else np.asarray(edge_valid, bool)
+        for e in range(edges.shape[1]):
+            if not ev[e]:
+                continue
+            a, b = int(edges[0, e]), int(edges[1, e])
+            if not (0 <= a < S and 0 <= b < S):
+                continue
+            draw.line([tuple(centers[a]), tuple(centers[b])], fill=(127, 127, 127))
+        for i in range(S):
+            x, y = float(centers[i, 0]), float(centers[i, 1])
+            box = [x - radius, y - radius, x + radius, y + radius]
+            if valid[i] or colorize_invalid_centers:
+                draw.ellipse(box, fill=tuple(int(c) for c in colors[i]))
+            else:
+                draw.ellipse(box, fill=(127, 127, 127))
+        return self._maybe_store(np.asarray(pil).astype(np.float32) / 255.0, tag)
+
+    def plot_traversability_graph_on_seg(
+        self,
+        prediction: np.ndarray,
+        seg: np.ndarray,
+        edges: np.ndarray,
+        centers: np.ndarray,
+        img: np.ndarray,
+        alpha: float = 0.6,
+        tag: str = "traversability_graph_on_seg",
+    ) -> np.ndarray:
+        """Per-segment prediction gathered onto the segmentation map,
+        overlaid on the image (reference plot_traversability_graph_on_seg,
+        visualizer.py:208-248)."""
+        base = _to_hwc(img)
+        pred = np.clip(np.asarray(prediction, np.float32), 0, 1)
+        seg = np.asarray(seg)
+        m = pred[np.clip(seg, 0, len(pred) - 1)]
+        heat = colormap_rdylbu(m)
+        out = np.clip(base * (1 - alpha) + heat * alpha, 0, 1)
+        return self._maybe_store(out, tag)
+
+    def plot_graph_result(
+        self,
+        y: np.ndarray,
+        y_pred: np.ndarray,
+        edges: np.ndarray,
+        centers: np.ndarray,
+        img: np.ndarray,
+        node_valid: Optional[np.ndarray] = None,
+        tag: str = "graph_result",
+    ) -> np.ndarray:
+        """Side-by-side ground-truth and prediction graphs on the image
+        (reference plot_graph_result, visualizer.py:425-470)."""
+        gt = self.plot_traversability_graph(
+            np.clip(np.asarray(y, np.float32), 0, 1), edges, centers, img,
+            node_valid=node_valid, tag="_tmp_gt",
+        )
+        pr = self.plot_traversability_graph(
+            np.clip(np.asarray(y_pred, np.float32), 0, 1), edges, centers, img,
+            node_valid=node_valid, tag="_tmp_pred",
+        )
+        return self._maybe_store(np.concatenate([gt, pr], axis=1), tag)
+
+    def plot_mission_node_training(
+        self,
+        image: np.ndarray,
+        supervision_signal: np.ndarray,
+        supervision_mask: np.ndarray,
+        seg: np.ndarray,
+        edges: np.ndarray,
+        centers: np.ndarray,
+        tag: str = "mission_node_training",
+    ):
+        """Training-view panel for a mission node (reference
+        plot_mission_node_training, visualizer.py:176-206): the
+        per-segment supervision signal as a graph plot, plus the raw
+        reprojected supervision mask overlay (unset pixels transparent —
+        the reference's NaN mask; here +inf/NaN both count as unset).
+
+        Returns (supervision_graph_img, mask_overlay_img)."""
+        sup_img = self.plot_traversability_graph(
+            np.clip(np.nan_to_num(np.asarray(supervision_signal, np.float32)), 0, 1),
+            edges, centers, image, tag="_tmp_sup",
+        )
+        mask = np.asarray(supervision_mask, np.float32)
+        unset = ~np.isfinite(mask)
+        vals = np.where(unset, 0.0, mask)
+        heat = colormap_rdylbu(vals)
+        base = _to_hwc(image)
+        a = np.where(unset, 0.0, 0.6)[..., None]
+        mask_img = np.clip(base * (1 - a) + heat * a, 0, 1)
+        self._maybe_store(sup_img, tag + "_graph")
+        self._maybe_store(mask_img, tag + "_mask")
+        return sup_img, mask_img
+
+    def plot_sparse_optical_flow(
+        self,
+        pre_pos: np.ndarray,
+        cur_pos: np.ndarray,
+        img1: np.ndarray,
+        img2: np.ndarray,
+        valid: Optional[np.ndarray] = None,
+        tag: str = "sparse_flow",
+    ) -> np.ndarray:
+        """Cross-image correspondence rendering (reference
+        plot_sparse_optical_flow, visualizer.py:574-614): img1 | img2
+        side by side with green lines from each tracked point in img1 to
+        its match in img2."""
+        from PIL import Image, ImageDraw
+
+        i1 = (_to_hwc(img1) * 255).astype(np.uint8)
+        i2 = (_to_hwc(img2) * 255).astype(np.uint8)
+        both = np.concatenate([i1, i2], axis=1)
+        pil = Image.fromarray(both)
+        draw = ImageDraw.Draw(pil)
+        W = i1.shape[1]
+        pre, cur = np.asarray(pre_pos, np.float32), np.asarray(cur_pos, np.float32)
+        v = np.ones(len(pre), bool) if valid is None else np.asarray(valid, bool)
+        for p, c, ok in zip(pre, cur, v):
+            if not ok or not (np.isfinite(p).all() and np.isfinite(c).all()):
+                continue
+            draw.line([(float(p[0]), float(p[1])), (float(W + c[0]), float(c[1]))],
+                      fill=(0, 255, 0), width=2)
+        return self._maybe_store(np.asarray(pil).astype(np.float32) / 255.0, tag)
