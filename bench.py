@@ -2,18 +2,28 @@
 
 Measures the BASELINE north-star metric (BASELINE.md): images/sec for
 the full per-frame pipeline — ImageNet normalize -> DINOv2 ViT-S/14
-backbone (bf16, XLA fused attention) -> dense per-patch SimpleMLP
-traversability + reconstruction scoring — at 448 px, batch 16, on the
-real TPU. The reference design point is 10 images/sec/camera on an
-RTX-class GPU (default.yaml:39); `vs_baseline` is the ratio against
-that 10 img/s.
+backbone -> dense per-patch SimpleMLP traversability + reconstruction
+scoring — at 448 px on the real TPU. The reference design point is
+10 images/sec/camera on an RTX-class GPU (default.yaml:39);
+`vs_baseline` is the ratio against that 10 img/s.
+
+Configuration (the TPU perf profile, all covered by tolerance tests):
+  * attention_impl="flash" — the Pallas flash kernel with
+    padding-tight blocks (one 1152 tile at S=1025) keeps the (S, S)
+    scores in VMEM entirely (ops/flash_attention.py; it beats XLA
+    fp32 542 -> bf16-scores 646 -> flash ~760 img/s backbone-only);
+  * ln_dtype=bfloat16 — bf16 LayerNorm IO (stats still fp32);
+  * bf16 MLP head scoring at patch resolution;
+  * batch 32, 4 batches per dispatch via lax.scan (amortizes the
+    per-dispatch overhead measured in benchmarks/exp_vit_breakdown.py).
 
 Measurement method (validated with a known-FLOP probe against this
 environment's TPU relay, whose block_until_ready can return before
-execution completes): distinct host-generated input batches, iterations
-chained through a data dependency, and the timing fenced by an actual
-value download at the end — the only operation the relay cannot fake.
-One relay round-trip (~25 ms) is amortized over all iterations.
+execution completes): on-device generated inputs, every dispatch
+chained through a data dependency, timing fenced by an actual value
+download, first round discarded, median of 3 rounds reported —
+run-to-run contention on the shared relay swings single measurements
+up to ~10x (see benchmarks/exp_*.py).
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
@@ -22,6 +32,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -29,11 +40,16 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent))
 
 BASELINE_IMAGES_PER_SEC = 10.0  # reference rate gate per camera
-BATCH = 16
+BATCH = 32
+SCAN = 4  # batches per dispatch
 SIZE = 448
-ITERS = 60  # long chains amortize the relay's fixed warmup (~1-2 s);
-# at 20 iters the measured throughput was ~40% lower purely from
-# unamortized startup (223 vs 393 img/s, same chip, same window)
+ITERS = 15  # chained dispatches per round (ITERS * SCAN * BATCH images)
+ROUNDS = 3
+
+# matmul+attention FLOPs per image: 12 blocks x (12 D^2 per token x S
+# + 4 S^2 D attention) + patch embed, S=1025, D=384 -> ~63.5 GFLOP
+FLOP_PER_IMAGE = 63.5e9
+PEAK_TFLOPS = 197.0  # v5e bf16
 
 
 def main():
@@ -44,50 +60,60 @@ def main():
     from wild_visual_navigation_tpu.models.vit import dense_features, make_vit
     from wild_visual_navigation_tpu.ops.resize import imagenet_normalize
 
-    vit = make_vit("dinov2", "vit_small", 14, attention_impl="xla")
+    vit = make_vit("dinov2", "vit_small", 14, attention_impl="flash", ln_dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     vit_params = vit.init(key, jnp.zeros((1, 3, SIZE, SIZE)))
     D = vit.cfg.embed_dim
     mlp = get_model({
         "name": "SimpleMLP",
-        "simple_mlp_cfg": {"input_size": D, "hidden_sizes": [256, 32, 1], "reconstruction": True},
+        "simple_mlp_cfg": {"input_size": D, "hidden_sizes": [256, 32, 1], "reconstruction": True,
+                            "dtype": jnp.bfloat16},
     })
     mlp_params = mlp.init(jax.random.PRNGKey(1), jnp.zeros((1, D)))
 
-    @jax.jit
-    def pipeline(vp, mp, imgs):
+    def one_batch(vp, mp, imgs):
         x = imagenet_normalize(imgs)
         feat = dense_features(vit, vp, x)  # (B, D, Hp, Wp)
         B, Dd, Hp, Wp = feat.shape
-        flat = feat.transpose(0, 2, 3, 1).reshape(-1, Dd)
+        flat = feat.transpose(0, 2, 3, 1).reshape(-1, Dd).astype(jnp.bfloat16)
         out = mlp.apply(mp, flat)
         return out[:, 0].reshape(B, Hp, Wp)
 
-    # Distinct host-generated inputs (see module docstring).
-    import numpy as np
+    @jax.jit
+    def pipeline(vp, mp, imgs):  # (SCAN, B, 3, H, W)
+        def body(carry, im):
+            t = one_batch(vp, mp, im + carry * 1e-12)
+            return t[0, 0, 0], t[:, 0, 0]
 
-    rng = np.random.RandomState(0)
-    batches = [
-        jax.device_put(rng.rand(BATCH, 3, SIZE, SIZE).astype(np.float32)) for _ in range(ITERS)
-    ]
-    jax.block_until_ready(batches)
+        _, outs = jax.lax.scan(body, jnp.zeros(()), imgs)
+        return outs
 
-    float(pipeline(vit_params, mlp_params, batches[0])[0, 0, 0])  # compile + complete
+    gen = jax.jit(lambda k: jax.random.uniform(k, (SCAN, BATCH, 3, SIZE, SIZE)))
+    base = gen(jax.random.fold_in(key, 7))
+    base.block_until_ready()
 
-    t0 = time.time()
-    carry = jnp.zeros(())
-    for b in batches:
-        out = pipeline(vit_params, mlp_params, b + carry * 1e-12)
-        carry = out[0, 0, 0]
-    float(carry)  # value fence: forces true completion through the relay
-    dt = time.time() - t0
+    float(pipeline(vit_params, mlp_params, base)[0, 0])  # compile + complete
 
-    images_per_sec = ITERS * BATCH / dt
+    rates = []
+    for r in range(ROUNDS + 1):
+        t0 = time.time()
+        carry = jnp.zeros(())
+        for i in range(ITERS):
+            out = pipeline(vit_params, mlp_params, base + carry * 1e-12 + i * 1e-9)
+            carry = out.ravel()[0]
+        float(carry)  # value fence: forces true completion through the relay
+        dt = time.time() - t0
+        if r > 0:  # first round absorbs relay warmup
+            rates.append(ITERS * SCAN * BATCH / dt)
+
+    images_per_sec = statistics.median(rates)
     result = {
         "metric": "dinov2_vits14_448px_dense_traversability_throughput",
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+        "rounds": [round(x, 1) for x in rates],
+        "mfu": round(images_per_sec * FLOP_PER_IMAGE / (PEAK_TFLOPS * 1e12), 3),
     }
     print(json.dumps(result))
 

@@ -34,9 +34,15 @@ def main():
     vit_f = VisionTransformer(cfg, attention_impl="flash", dtype=jnp.bfloat16)
     params = vit_x.init(key, jnp.zeros((1, 3, SIZE, SIZE)))
 
+    vit_b = VisionTransformer(cfg, attention_impl="xla_bf16", dtype=jnp.bfloat16, ln_dtype=jnp.bfloat16)
+    vit_f2 = VisionTransformer(cfg, attention_impl="flash:384:1152", dtype=jnp.bfloat16, ln_dtype=jnp.bfloat16)
+    vit_f3 = VisionTransformer(cfg, attention_impl="flash:576:1152", dtype=jnp.bfloat16, ln_dtype=jnp.bfloat16)
+    vit_f4 = VisionTransformer(cfg, attention_impl="flash:1152:1152", dtype=jnp.bfloat16, ln_dtype=jnp.bfloat16)
     variants = {
-        "xla": jax.jit(lambda p, x: vit_x.apply(p, imagenet_normalize(x))["patch_tokens"][:, 0]),
-        "flash": jax.jit(lambda p, x: vit_f.apply(p, imagenet_normalize(x))["patch_tokens"][:, 0]),
+        "xla_bf16_ln16": jax.jit(lambda p, x: vit_b.apply(p, imagenet_normalize(x))["patch_tokens"][:, 0]),
+        "flash_384_1152": jax.jit(lambda p, x: vit_f2.apply(p, imagenet_normalize(x))["patch_tokens"][:, 0]),
+        "flash_576_1152": jax.jit(lambda p, x: vit_f3.apply(p, imagenet_normalize(x))["patch_tokens"][:, 0]),
+        "flash_1152_1152": jax.jit(lambda p, x: vit_f4.apply(p, imagenet_normalize(x))["patch_tokens"][:, 0]),
     }
 
     x = jax.random.uniform(jax.random.fold_in(key, 9), (B, 3, SIZE, SIZE))
@@ -48,8 +54,9 @@ def main():
         outs[name] = np.asarray(out)
         float(outs[name].ravel()[0])
         print(f"compiled {name}", flush=True)
-    err = np.abs(outs["xla"] - outs["flash"]).max()
-    print(f"max|xla - flash| = {err:.5f}", flush=True)
+    ref = outs["xla_bf16_ln16"]
+    for n, o in outs.items():
+        print(f"max|{n} - ref| = {np.abs(o - ref).max():.5f}", flush=True)
 
     results = {name: [] for name in variants}
     for r in range(ROUNDS):

@@ -34,7 +34,11 @@ def parse_args():
     p = argparse.ArgumentParser(description="TPU-native WVN offline inference")
     p.add_argument("--model_name", type=str, default="indoor_mpi",
                    help="label for the run (reference quick_start.py:57)")
-    p.add_argument("--ckpt", type=str, default=None, help="checkpoint from TraversabilityEstimator.save_checkpoint")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="checkpoint from TraversabilityEstimator.save_checkpoint; "
+                        "defaults to the shipped replay-trained head "
+                        "(assets/checkpoints/replay_demo_head.ckpt) when present; "
+                        "pass --ckpt '' to force a random-init head")
     p.add_argument("--image_folder", type=str, default="/root/reference/assets/demo_data")
     p.add_argument("--output_folder", type=str, default="results/demo_data")
     p.add_argument("--network_input_image_height", type=int, default=224)
@@ -89,7 +93,15 @@ def main():
     })
     params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, D)))
     cg_state = confidence_init()
-    cg_cfg = ConfidenceConfig(std_factor=0.7, method="latest_measurement")
+    cg_cfg = ConfidenceConfig(std_factor=0.5, method="latest_measurement")
+    if args.ckpt is None:
+        # shipped framework-trained head (tools/train_demo_head.py) —
+        # the reference's released-checkpoint flow (quick_start.py:141-150)
+        default_ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "assets/checkpoints/replay_demo_head.ckpt")
+        if (args.feature_type, args.dino_backbone, args.dino_patch_size) == ("dino", "vit_small", 8) \
+                and os.path.exists(default_ckpt):
+            args.ckpt = default_ckpt
     if args.ckpt:
         from flax import serialization
 

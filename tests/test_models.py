@@ -99,3 +99,31 @@ def test_rnvp_mask_flip_without_permutation():
     res = m.apply(params, x)
     x_rec, _ = m.apply(params, res["z"], method=m._flow_backward)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_rec), atol=1e-4)
+
+
+def test_vit_perf_profile_tolerance():
+    """The TPU perf profile (attention_impl=xla_bf16 + bf16 LayerNorm
+    IO) must stay at the bf16 quantization floor relative to the
+    standard bf16 path — it is a bandwidth optimization, not a model
+    change (bench.py runs this profile)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wild_visual_navigation_tpu.models.vit import make_vit
+
+    H = 56
+    ref = make_vit("dinov2", "vit_small", 14, attention_impl="xla", dtype=jnp.float32)
+    perf = make_vit("dinov2", "vit_small", 14, attention_impl="xla_bf16",
+                    dtype=jnp.bfloat16, ln_dtype=jnp.bfloat16)
+    params = ref.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, H, H)))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, H, H))
+    a = np.asarray(ref.apply(params, x)["patch_tokens"])
+    b = np.asarray(perf.apply(params, x)["patch_tokens"])
+    scale = np.abs(a).max()
+    rel = np.abs(a - b).max() / (scale + 1e-9)
+    # bf16 has ~3 decimal digits; 12 accumulated blocks -> a few percent
+    assert rel < 0.08, rel
+    # and the two fields are strongly correlated
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.999, corr

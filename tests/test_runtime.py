@@ -221,3 +221,57 @@ def test_runtime_accepts_uint8_frames():
     assert res is not None
     t = np.asarray(res.traversability)
     assert t.shape == (48, 48) and np.isfinite(t).all()
+
+
+def test_score_at_patch_res_matches_per_pixel():
+    """VERDICT r1 #3: patch-resolution scoring (score trav per patch
+    token, upsample the 1-channel map) must agree with the reference
+    order (upsample D-channel features, score every pixel) within the
+    bilinear-vs-MLP-nonlinearity tolerance — it is a perf flag, not a
+    behavior change."""
+    import jax
+    import jax.numpy as jnp
+
+    from wild_visual_navigation_tpu.models import get_model
+    from wild_visual_navigation_tpu.models.vit import make_vit
+    from wild_visual_navigation_tpu.runtime.fused import build_fused_frame_fn
+    from wild_visual_navigation_tpu.utils.confidence_generator import (
+        ConfidenceConfig,
+        confidence_init,
+    )
+
+    H = 64
+    vit = make_vit("dino", "vit_small", 8, attention_impl="xla", dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    vp = vit.init(key, jnp.zeros((1, 3, H, H)))
+    D = vit.cfg.embed_dim
+    mlp = get_model({
+        "name": "SimpleMLP",
+        "simple_mlp_cfg": {"input_size": D, "hidden_sizes": [32, 1], "reconstruction": True},
+    })
+    mp = mlp.init(jax.random.fold_in(key, 1), jnp.zeros((1, D)))
+    cg = confidence_init()
+    cfg = ConfidenceConfig()
+
+    kw = dict(input_size=H, segmentation_type="grid", num_segments=16, cell_size=16,
+              prediction_per_pixel=True)
+    slow = build_fused_frame_fn(vit, mlp, cfg, score_at_patch_res=False, **kw)
+    fast = build_fused_frame_fn(vit, mlp, cfg, score_at_patch_res=True, **kw)
+
+    img = jax.random.uniform(jax.random.fold_in(key, 2), (1, 3, H, H))
+    a = slow(vp, mp, cg, img)
+    b = fast(vp, mp, cg, img)
+    ta, tb = np.asarray(a.traversability), np.asarray(b.traversability)
+    assert ta.shape == tb.shape == (H, H)
+    # scoring order differs only through the MLP nonlinearity across
+    # the bilinear interpolation; agreement should be tight on smooth
+    # regions and bounded everywhere
+    assert np.abs(ta - tb).mean() < 0.03, np.abs(ta - tb).mean()
+    assert np.percentile(np.abs(ta - tb), 95) < 0.1
+    # pooled features: full-res vs patch-grid pooling of the same field
+    fa, fb = np.asarray(a.features), np.asarray(b.features)
+    valid = np.asarray(a.feat_valid) & np.asarray(b.feat_valid)
+    ra = fa[valid] / (np.linalg.norm(fa[valid], axis=-1, keepdims=True) + 1e-9)
+    rb = fb[valid] / (np.linalg.norm(fb[valid], axis=-1, keepdims=True) + 1e-9)
+    cos = (ra * rb).sum(-1)
+    assert cos.min() > 0.98, cos.min()

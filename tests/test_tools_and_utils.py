@@ -214,3 +214,59 @@ def test_facade_efficientnet():
     img = jax.random.uniform(jax.random.PRNGKey(1), (1, 3, 64, 64))
     ex = fe.extract(img)
     assert ex.features.shape == (4, fe.feature_dim)
+
+
+def test_config_surface_loads():
+    """Every shipped YAML (default + 13 camera sets + robot profiles +
+    resized variants — the reference's per-robot config surface) loads
+    cleanly onto the node param dataclasses."""
+    import glob
+
+    from wild_visual_navigation_tpu.utils.loading import load_node_params
+
+    inputs = sorted(glob.glob("configs/inputs/*.yaml"))
+    assert len(inputs) == 13
+    for overlay in inputs + sorted(glob.glob("configs/robots/*.yaml")) + [
+        "configs/resized_all.yaml", "configs/resized_wide_angle_dual.yaml",
+    ]:
+        fe, ln = load_node_params("configs/default.yaml", overlay)
+        assert fe.network_input_image_height in (224, 448)
+        if "none" not in overlay:
+            assert isinstance(fe.camera_topics, dict) and fe.camera_topics
+            for cam, cfg in fe.camera_topics.items():
+                assert "image_topic" in cfg and "scheduler_weight" in cfg
+    # robot profiles override the footprint dimensions
+    fe, ln = load_node_params("configs/default.yaml", "configs/robots/jackal.yaml")
+    assert ln.robot_length == 0.5 and ln.base_frame == "base_link"
+    fe, ln = load_node_params("configs/default.yaml", "configs/robots/anymal.yaml")
+    assert ln.robot_length == 0.8 and ln.footprint_frame == "footprint"
+
+
+def test_shipped_demo_checkpoint_loads():
+    """assets/checkpoints/replay_demo_head.ckpt (trained by
+    tools/train_demo_head.py on the replay world) must load onto
+    quick_start's model shape — the shipped-checkpoint flow of the
+    reference (quick_start.py:141-150)."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from wild_visual_navigation_tpu.models import get_model
+
+    path = "assets/checkpoints/replay_demo_head.ckpt"
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    assert payload["step"] > 50
+    mlp = get_model({
+        "name": "SimpleMLP",
+        "simple_mlp_cfg": {"input_size": 384, "hidden_sizes": [256, 32, 1], "reconstruction": True},
+    })
+    params = mlp.init(jax.random.PRNGKey(1), jnp.zeros((1, 384)))
+    params = serialization.from_bytes(params, payload["params"])
+    out = mlp.apply(params, jnp.ones((3, 384)))
+    assert out.shape == (3, 1 + 384)
+    import numpy as np
+
+    assert np.isfinite(np.asarray(out)).all()

@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.flash_attention import flash_attention, xla_attention
+from ..ops.flash_attention import flash_attention, xla_attention, xla_attention_bf16
 
 
 @dataclass(frozen=True)
@@ -71,10 +71,17 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, H, Dh).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, Dh)
         q, k, v = qkv[0], qkv[1], qkv[2]
         scale = Dh**-0.5
-        if self.attention_impl == "flash":
-            out = flash_attention(q, k, v, sm_scale=scale)
-        elif self.attention_impl == "flash_interpret":
+        if self.attention_impl == "flash_interpret":
             out = flash_attention(q, k, v, sm_scale=scale, interpret=True)
+        elif self.attention_impl.startswith("flash"):
+            # "flash" or "flash:<block_q>:<block_k>" (block tuning —
+            # blocks should divide the padded sequence tightly; see
+            # README's attention shoot-out)
+            parts = self.attention_impl.split(":")
+            kw = dict(block_q=int(parts[1]), block_k=int(parts[2])) if len(parts) == 3 else {}
+            out = flash_attention(q, k, v, sm_scale=scale, **kw)
+        elif self.attention_impl == "xla_bf16":
+            out = xla_attention_bf16(q, k, v, sm_scale=scale)
         else:
             out = xla_attention(q, k, v, sm_scale=scale)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
@@ -97,11 +104,15 @@ class Block(nn.Module):
     cfg: ViTConfig
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.bfloat16
+    # LayerNorm OUTPUT dtype: fp32 by default (parity); bf16 halves the
+    # LN read/write traffic on the residual stream (stats still
+    # accumulate in fp32 inside flax). Enabled by the "perf" profile.
+    ln_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
-        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.ln_dtype, name="norm1")(x)
         h = Attention(cfg, self.attention_impl, self.dtype, name="attn")(h)
         if cfg.layerscale_init is not None:
             gamma1 = self.param("ls1_gamma", nn.initializers.constant(cfg.layerscale_init), (cfg.embed_dim,))
@@ -110,7 +121,7 @@ class Block(nn.Module):
             # network, doubling HBM traffic per block
             h = h * gamma1.astype(h.dtype)
         x = x + h
-        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.ln_dtype, name="norm2")(x)
         h = Mlp(cfg, self.dtype, name="mlp")(h)
         if cfg.layerscale_init is not None:
             gamma2 = self.param("ls2_gamma", nn.initializers.constant(cfg.layerscale_init), (cfg.embed_dim,))
@@ -170,6 +181,7 @@ class VisionTransformer(nn.Module):
     cfg: ViTConfig
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.bfloat16
+    ln_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, img: jnp.ndarray) -> dict:
@@ -208,7 +220,7 @@ class VisionTransformer(nn.Module):
         x = jnp.concatenate(tokens + [x], axis=1)
 
         for i in range(cfg.depth):
-            x = Block(cfg, self.attention_impl, self.dtype, name=f"block_{i}")(x)
+            x = Block(cfg, self.attention_impl, self.dtype, self.ln_dtype, name=f"block_{i}")(x)
 
         x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="norm")(x)
         n_prefix = 1 + cfg.num_register_tokens
@@ -234,11 +246,18 @@ def make_vit(
     patch_size: int = 14,
     attention_impl: str = "xla",
     dtype=jnp.bfloat16,
+    ln_dtype=jnp.float32,
 ) -> VisionTransformer:
     """Instantiate by the reference's (backbone, backbone_type,
-    patch_size) triple (dino_interface.py:16-27)."""
+    patch_size) triple (dino_interface.py:16-27).
+
+    Perf profile for TPU inference: attention_impl="xla_bf16" +
+    ln_dtype=jnp.bfloat16 — bf16 score storage and bf16 LayerNorm IO
+    (fp32 stats) cut the residual-stream HBM traffic ~2x with feature
+    error at the bf16 quantization floor; the fp32 defaults remain the
+    torch-parity configuration (tests/test_torch_parity.py)."""
     size = backbone_type.replace("vit_", "")
     key = f"{backbone}_vit_{size}_{patch_size}"
     if key not in VIT_CONFIGS:
         raise ValueError(f"Unknown ViT config {key}; have {sorted(VIT_CONFIGS)}")
-    return VisionTransformer(VIT_CONFIGS[key], attention_impl=attention_impl, dtype=dtype)
+    return VisionTransformer(VIT_CONFIGS[key], attention_impl=attention_impl, dtype=dtype, ln_dtype=ln_dtype)

@@ -110,6 +110,20 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     return jnp.pad(x, cfg)
 
 
+def _default_blocks(S: int):
+    """Padding-tight block choice. Padding waste dominated the kernel's
+    cost at ViT shapes (S=1025 with 512/1024 blocks pads the score area
+    3x and LOSES to XLA; a single 1152 tile pads 1.12x and WINS — see
+    benchmarks/exp_flash_inmodel.py). Up to S=1536 use one lane-rounded
+    tile (<= 9.4 MB fp32 scores in VMEM); beyond that, 1152 blocks keep
+    the multiple-of-1152 padding under ~20% for the zoo's sequence
+    lengths (2116 @644 ViT-B -> 2304, 3137 @448/8 -> 3456)."""
+    padded = -(-S // 128) * 128
+    if padded <= 1536:
+        return padded, padded
+    return 1152, 1152
+
+
 @functools.partial(
     jax.jit, static_argnames=("sm_scale", "block_q", "block_k", "interpret")
 )
@@ -118,17 +132,21 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     sm_scale: float = 1.0,
-    block_q: int = 512,
-    block_k: int = 1024,
+    block_q: int = 0,
+    block_k: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """softmax(q @ k^T * sm_scale) @ v, tiled.
 
     q, k, v: (B, H, S, D) with any S (padded internally); D <= 256.
-    Returns (B, H, S, D) in q.dtype.
+    block_q/block_k of 0 pick the padding-tight defaults. Returns
+    (B, H, S, D) in q.dtype.
     """
     B, H, S, D = q.shape
     orig_S = S
+    dq, dk = _default_blocks(S)
+    block_q = block_q or dq
+    block_k = block_k or dk
     block_q = min(block_q, max(128, 1 << (S - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (S - 1).bit_length()))
     qp = _pad_to(q.reshape(B * H, S, D), 1, block_q)
@@ -168,3 +186,23 @@ def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, sm_scale: floa
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * sm_scale
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def xla_attention_bf16(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, sm_scale: float = 1.0) -> jnp.ndarray:
+    """XLA attention with bfloat16 score storage.
+
+    The (B, H, S, S) score matrix is the dominant HBM round trip of the
+    ViT forward on TPU (fp32 scores at B16/S1025 are ~400 MB per layer
+    per direction); keeping them bf16 halves that traffic. Numerics:
+    the softmax max-subtraction and normalization still run in fp32;
+    only the stored logits lose mantissa (~3 decimal digits), which is
+    far below the traversability head's sensitivity — gated behind
+    attention_impl="xla_bf16" with a tolerance test, fp32 stays the
+    parity default."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.bfloat16)
+    s = (s.astype(jnp.float32) * sm_scale)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m).astype(jnp.bfloat16)
+    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    return (out / l).astype(q.dtype)

@@ -52,13 +52,25 @@ def build_fused_frame_fn(
     cell_size: int = 32,
     max_edges: int = 1024,
     prediction_per_pixel: bool = True,
+    score_at_patch_res: bool = False,
     jit_compile: bool = True,
 ):
     """Returns fn(vit_params, mlp_params, cg_state, img) ->
     FrameResult (jitted unless jit_compile=False — the raw body is
     composable into larger programs, e.g. frame+buffer-insert).
     img: (1, 3, H0, W0) in [0, 1]; output maps are
-    (input_size, input_size)."""
+    (input_size, input_size).
+
+    score_at_patch_res: score per PATCH token and bilinearly upsample
+    the 1-channel trav/confidence maps, instead of upsampling the
+    D-channel features to pixels and scoring every pixel (the
+    reference's order, dino_interface.py:87-91 + per-pixel MLP). The
+    per-pixel D-channel upsample materializes D*H*W fp32 (~300 MB at
+    448 px) and runs the MLP over H*W rows; patch-res scoring cuts both
+    by (patch_size)^2. Mathematically different (MLP o upsample vs
+    upsample o MLP — the MLP is nonlinear), so it is opt-in and covered
+    by a tolerance test; feature pooling then uses the patch grid
+    (segmentation sampled at patch centers)."""
     H = W = input_size
     S = num_segments
 
@@ -71,7 +83,6 @@ def build_fused_frame_fn(
         x = center_crop(x, H)
         xn = imagenet_normalize(x)
         feat = dense_features(vit, vit_params, xn)  # (1, D, Hp, Wp)
-        dense = interpolate_bilinear(feat, H, W)[0]  # (D, H, W)
 
         if segmentation_type == "slic":
             seg = slic(x[0], num_components=S, compactness=slic_compactness, iterations=slic_iterations)
@@ -82,9 +93,43 @@ def build_fused_frame_fn(
         else:
             raise ValueError(f"fused path does not support segmentation [{segmentation_type}]")
 
-        pooled, counts = segment_ops.segment_mean_pool(dense, seg, S)
         edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
         centers, center_valid = segment_ops.segment_centers(seg, S)
+
+        if score_at_patch_res:
+            _, D, Hp, Wp = feat.shape
+            ph, pw = H // Hp, W // Wp
+            # segmentation sampled at patch centers for pooling
+            seg_p = seg[ph // 2 :: ph, pw // 2 :: pw][:Hp, :Wp]
+            pooled, counts = segment_ops.segment_mean_pool(feat[0], seg_p, S)
+            flat = feat[0].reshape(D, -1).T  # (Hp*Wp, D)
+            out = mlp.apply(mlp_params, flat)
+            reco = jnp.mean((out[:, 1:] - flat) ** 2, axis=-1)
+            conf_p = confidence_inference(cg_cfg, cg_state, reco).reshape(1, 1, Hp, Wp)
+            trav_p = out[:, 0].reshape(1, 1, Hp, Wp)
+            if prediction_per_pixel:
+                trav = interpolate_bilinear(trav_p, H, W)[0, 0]
+                conf = interpolate_bilinear(conf_p, H, W)[0, 0]
+            else:
+                out_s = mlp.apply(mlp_params, pooled)
+                reco_s = jnp.mean((out_s[:, 1:] - pooled) ** 2, axis=-1)
+                conf_seg = confidence_inference(cg_cfg, cg_state, reco_s)
+                sid = seg.clip(0, S - 1)
+                trav = out_s[:, 0][sid]
+                conf = conf_seg[sid]
+            return FrameResult(
+                traversability=trav,
+                confidence=conf,
+                features=pooled,
+                feat_valid=counts > 0,
+                segments=seg,
+                edges=edges,
+                edge_valid=edge_valid,
+                centers=centers,
+            )
+
+        dense = interpolate_bilinear(feat, H, W)[0]  # (D, H, W)
+        pooled, counts = segment_ops.segment_mean_pool(dense, seg, S)
 
         D = dense.shape[0]
         if prediction_per_pixel:

@@ -103,6 +103,7 @@ class WVNRuntime:
         gridmap_resolution: float = 0.1,
         supervision_flush_every: int = 1,
         swallow_callback_errors: bool = False,
+        score_at_patch_res: bool = False,
         mesh=None,
     ):
         """mesh: optional jax.sharding.Mesh with ("dp", "tp") axes
@@ -240,6 +241,7 @@ class WVNRuntime:
                 cell_size=self.feature_extractor._cell_size,
                 max_edges=self.feature_extractor._max_edges,
                 prediction_per_pixel=fp.prediction_per_pixel,
+                score_at_patch_res=score_at_patch_res,
                 jit_compile=False,
             )
             self._fused_frame = jax.jit(frame_raw)

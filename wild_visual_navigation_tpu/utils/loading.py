@@ -72,3 +72,31 @@ def _is_dataclass_path(cfg: Any, dotted: str) -> bool:
         except AttributeError:
             return False
     return dataclasses.is_dataclass(cur)
+
+
+def load_node_params(*yaml_paths: str):
+    """Build (FeatureExtractorNodeParams, LearningNodeParams) from a
+    stack of YAML overlays — the reference's reload_rosparams.py flow
+    (default.yaml + per-robot camera/robot profiles loaded onto the
+    param server, then read key-by-key by each node). Later files win;
+    each key is applied to every param class that has the field, and a
+    key no class knows raises."""
+    from ..cfg import FeatureExtractorNodeParams, LearningNodeParams
+
+    fe = FeatureExtractorNodeParams()
+    ln = LearningNodeParams()
+    fe_fields = {f.name for f in dataclasses.fields(fe)}
+    ln_fields = {f.name for f in dataclasses.fields(ln)}
+    for path in yaml_paths:
+        data = load_yaml(path)
+        for key, value in data.items():
+            known = False
+            if key in fe_fields:
+                fe = dataclasses.replace(fe, **{key: value})
+                known = True
+            if key in ln_fields:
+                ln = dataclasses.replace(ln, **{key: value})
+                known = True
+            if not known:
+                raise KeyError(f"{path}: unknown node param {key!r}")
+    return fe, ln
