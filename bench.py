@@ -13,6 +13,9 @@ Configuration (the TPU perf profile, all covered by tolerance tests):
     scores in VMEM entirely (ops/flash_attention.py; it beats XLA
     fp32 542 -> bf16-scores 646 -> flash ~760 img/s backbone-only);
   * ln_dtype=bfloat16 — bf16 LayerNorm IO (stats still fp32);
+  * ImageNet normalization folded into the patch-embed conv weights
+    (models/vit.py::fold_imagenet_normalize — exact, equivalence-
+    tested), removing two full-image HBM sweeps per frame;
   * bf16 MLP head scoring at patch resolution;
   * batch 32, 4 batches per dispatch via lax.scan (amortizes the
     per-dispatch overhead measured in benchmarks/exp_vit_breakdown.py).
@@ -57,12 +60,11 @@ def main():
     import jax.numpy as jnp
 
     from wild_visual_navigation_tpu.models import get_model
-    from wild_visual_navigation_tpu.models.vit import dense_features, make_vit
-    from wild_visual_navigation_tpu.ops.resize import imagenet_normalize
+    from wild_visual_navigation_tpu.models.vit import dense_features, fold_imagenet_normalize, make_vit
 
     vit = make_vit("dinov2", "vit_small", 14, attention_impl="flash", ln_dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
-    vit_params = vit.init(key, jnp.zeros((1, 3, SIZE, SIZE)))
+    vit_params = fold_imagenet_normalize(vit.init(key, jnp.zeros((1, 3, SIZE, SIZE))))
     D = vit.cfg.embed_dim
     mlp = get_model({
         "name": "SimpleMLP",
@@ -72,8 +74,8 @@ def main():
     mlp_params = mlp.init(jax.random.PRNGKey(1), jnp.zeros((1, D)))
 
     def one_batch(vp, mp, imgs):
-        x = imagenet_normalize(imgs)
-        feat = dense_features(vit, vp, x)  # (B, D, Hp, Wp)
+        feat = dense_features(vit, vp, imgs)  # (B, D, Hp, Wp); raw [0,1] in
+
         B, Dd, Hp, Wp = feat.shape
         flat = feat.transpose(0, 2, 3, 1).reshape(-1, Dd).astype(jnp.bfloat16)
         out = mlp.apply(mp, flat)

@@ -73,7 +73,7 @@ def main():
     B = args.cameras
     FAN = 32  # reprojection fan-out (mission-buffer views per footprint)
     S = 100  # segments
-    vit = make_vit("dinov2", args.backbone_type, 14, attention_impl="xla")
+    vit = make_vit("dinov2", args.backbone_type, 14, attention_impl="flash", ln_dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     vit_params = vit.init(key, jnp.zeros((1, 3, size, size)))
     D = vit.cfg.embed_dim

@@ -27,7 +27,21 @@ jax.config.update("jax_num_cpu_devices", 8)
 # Persistent XLA compilation cache: repeated test sessions (and the
 # driver's repeated suite runs) skip recompilation of unchanged
 # programs — the suite is compile-dominated on CPU.
-_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
+#
+# The cache key MUST include the host CPU's feature set: XLA:CPU AOT
+# results baked for another machine's features (e.g. +prefer-no-scatter)
+# load with a warning and then SIGILL mid-suite ("Fatal Python error"
+# with no traceback). Keying the directory by the cpuinfo flags hash
+# makes a mismatched cache simply cold instead of lethal.
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = next((ln for ln in _f if ln.startswith("flags")), "")
+except OSError:
+    _flags = ""
+_cpu_tag = hashlib.sha1(_flags.encode()).hexdigest()[:12]
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache", _cpu_tag)
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -127,3 +127,25 @@ def test_vit_perf_profile_tolerance():
     # and the two fields are strongly correlated
     corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
     assert corr > 0.999, corr
+
+
+def test_fold_imagenet_normalize_exact():
+    """fold_imagenet_normalize(params) on RAW images must equal
+    imagenet_normalize + original params (it is algebra on the linear
+    patch embedding, not an approximation)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wild_visual_navigation_tpu.models.vit import fold_imagenet_normalize, make_vit
+    from wild_visual_navigation_tpu.ops.resize import imagenet_normalize
+
+    vit = make_vit("dinov2", "vit_small", 14, attention_impl="xla", dtype=jnp.float32)
+    params = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 56, 56)))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 56, 56))
+    a = np.asarray(vit.apply(params, imagenet_normalize(x))["patch_tokens"])
+    b = np.asarray(vit.apply(fold_imagenet_normalize(params), x)["patch_tokens"])
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    # original params untouched
+    c = np.asarray(vit.apply(params, imagenet_normalize(x))["patch_tokens"])
+    np.testing.assert_allclose(a, c, atol=0)

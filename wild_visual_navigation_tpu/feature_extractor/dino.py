@@ -26,11 +26,13 @@ from ..ops.resize import center_crop, imagenet_normalize, interpolate_bilinear, 
 
 
 def _default_attention_impl() -> str:
-    # Value-fenced interleaved medians on v5e: XLA's fused attention
-    # and the Pallas flash kernel are equal within environment noise at
-    # ViT shapes (head_dim 64, S ~1-6k). XLA stays default (simpler,
-    # differentiable); flash is opt-in via attention_impl="flash".
-    return "xla"
+    # On TPU the Pallas flash kernel with padding-tight blocks beats
+    # XLA by ~29% at the zoo's shapes (README attention shoot-out); the
+    # backbone is frozen so forward-only is fine. CPU (tests) keeps the
+    # XLA einsum path — Pallas on CPU needs interpret mode.
+    import jax
+
+    return "flash" if jax.devices()[0].platform == "tpu" else "xla"
 
 
 class DinoInterface:

@@ -39,7 +39,9 @@ class StegoInterface:
     ):
         self._run_crf = run_crf
         if attention_impl is None:
-            attention_impl = "xla"  # see dino._default_attention_impl
+            from .dino import _default_attention_impl
+
+            attention_impl = _default_attention_impl()
         self._input_size = input_size
         self._n_image_clusters = n_image_clusters
         self._run_clustering = run_clustering

@@ -231,6 +231,29 @@ class VisionTransformer(nn.Module):
         }
 
 
+def fold_imagenet_normalize(params) -> dict:
+    """Fold the ImageNet normalization into the patch-embed conv.
+
+    (x - mean)/std followed by the linear patch embedding equals the
+    patch embedding with per-input-channel-rescaled kernels and a
+    shifted bias, so the full-image elementwise normalization pass
+    (two HBM sweeps of every frame) disappears: feed RAW [0, 1] images
+    to a ViT carrying folded params. Exact to fp32 rounding
+    (tests/test_models.py)."""
+    from ..ops.resize import IMAGENET_MEAN, IMAGENET_STD
+
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    pe = dict(params["params"]["patch_embed"])
+    kernel = pe["kernel"]  # (ph, pw, 3, D)
+    std = jnp.asarray(IMAGENET_STD).reshape(1, 1, 3, 1).astype(kernel.dtype)
+    mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 1, 3, 1).astype(kernel.dtype)
+    new_kernel = kernel / std
+    new_bias = pe["bias"] - jnp.sum(new_kernel * mean, axis=(0, 1, 2))
+    new_params = dict(params["params"])
+    new_params["patch_embed"] = {"kernel": new_kernel, "bias": new_bias}
+    return {**params, "params": new_params}
+
+
 def dense_features(vit: VisionTransformer, params, img: jnp.ndarray) -> jnp.ndarray:
     """(B, 3, H, W) -> (B, D, Hp, Wp) dense patch features, the
     get_backbone output contract consumed by DinoInterface."""

@@ -254,3 +254,142 @@ def run_replay(
     if verbose:
         print(report)
     return report
+
+
+class SimWorld:
+    """Interactive 2-D simulator — the framework's Gazebo analogue.
+
+    Where `synthetic_sequence` replays a FIXED trajectory (the rosbag
+    analogue), SimWorld renders the same textured ground plane + dark
+    obstacle disk for ANY (x, y, yaw) pose and integrates commanded
+    twists with a grind model inside the obstacle, so a controller can
+    be closed around the runtime (reference: the Jackal Gazebo sim +
+    carrot_follower demo, wild_visual_navigation_jackal/launch/sim.launch,
+    scripts/carrot_follower.py:30-89)."""
+
+    def __init__(
+        self,
+        image_size: int = 64,
+        seed: int = 0,
+        obstacle_xy: Optional[tuple] = (4.0, 0.0),
+        obstacle_radius: float = 0.8,
+        grind_factor: float = 0.15,
+    ):
+        rng = np.random.RandomState(seed)
+        self._tex = _ground_texture(rng)
+        H = W = image_size
+        self.K = np.array([[0.6 * W, 0, W / 2], [0, 0.6 * W, H / 2], [0, 0, 1.0]])
+        self.H = self.W = image_size
+        pitch = np.deg2rad(45)
+        s, c = np.sin(pitch), np.cos(pitch)
+        R_pitch = np.array([[0.0, -s, c], [-1.0, 0.0, 0.0], [0.0, -c, -s]])
+        self.pose_cam_in_base = np.eye(4)
+        self.pose_cam_in_base[:3, :3] = R_pitch
+        self.pose_cam_in_base[:3, 3] = [0.3, 0.0, 1.2]
+
+        Kinv = np.linalg.inv(self.K)
+        uu, vv = np.meshgrid(np.arange(W) + 0.5, np.arange(H) + 0.5)
+        pix = np.stack([uu, vv, np.ones_like(uu)], axis=-1).reshape(-1, 3)
+        dirs_cam = (Kinv @ pix.T).T
+        R_wc = self.pose_cam_in_base[:3, :3]
+        cam_origin = self.pose_cam_in_base[:3, 3]
+        dirs_world = (R_wc @ dirs_cam.T).T
+        dz = dirs_world[:, 2]
+        t_hit = np.where(np.abs(dz) > 1e-6, -cam_origin[2] / np.where(np.abs(dz) < 1e-6, 1.0, dz), -1.0)
+        self._ground = (t_hit > 0) & (t_hit < 30)
+        self._offs_xy = cam_origin[None, :2] + t_hit[:, None] * dirs_world[:, :2]  # base frame
+
+        self.obstacle_xy = None if obstacle_xy is None else np.asarray(obstacle_xy, float)
+        self.obstacle_radius = obstacle_radius
+        self.grind_factor = grind_factor
+        self.x, self.y, self.yaw = 0.0, 0.0, 0.0
+        self.t = 0.0
+
+    # ------------------------------------------------------------ state
+    def pose(self) -> np.ndarray:
+        T = np.eye(4)
+        cy, sy = np.cos(self.yaw), np.sin(self.yaw)
+        T[:2, :2] = [[cy, -sy], [sy, cy]]
+        T[0, 3], T[1, 3] = self.x, self.y
+        return T
+
+    def in_obstacle(self, x: float, y: float) -> bool:
+        if self.obstacle_xy is None:
+            return False
+        return float(np.hypot(x - self.obstacle_xy[0], y - self.obstacle_xy[1])) < self.obstacle_radius
+
+    # ----------------------------------------------------------- render
+    def render(self, pose: Optional[np.ndarray] = None) -> np.ndarray:
+        """(3, H, W) pinhole render of the world from the robot camera —
+        the same geometry the supervision reprojection uses."""
+        T = self.pose() if pose is None else pose
+        R2 = T[:2, :2]
+        wxy = self._offs_xy @ R2.T + T[:2, 3][None]
+        ti = (np.abs(wxy[:, 0] * 24) % self._tex.shape[1]).astype(int)
+        tj = (np.abs((wxy[:, 1] + 100) * 24) % self._tex.shape[2]).astype(int)
+        cols = self._tex[:, ti, tj]
+        if self.obstacle_xy is not None:
+            d = np.hypot(wxy[:, 0] - self.obstacle_xy[0], wxy[:, 1] - self.obstacle_xy[1])
+            cols = np.where((d < self.obstacle_radius)[None, :],
+                            np.array([0.55, 0.08, 0.08], np.float32)[:, None], cols)
+        sky = np.array([0.65, 0.8, 0.95], np.float32)[:, None]
+        cols = np.where(self._ground[None, :], cols, sky)
+        return np.clip(cols.reshape(3, self.H, self.W), 0, 1).astype(np.float32)
+
+    # ------------------------------------------------------------- step
+    def step(self, cmd_twist: np.ndarray, dt: float) -> np.ndarray:
+        """Integrate a commanded twist [vx, ., ., ., ., wz]; inside the
+        obstacle the achieved linear speed collapses to `grind_factor`
+        of the command (sustained velocity-tracking failure — what the
+        supervision KF flags untraversable). Returns the ACHIEVED twist."""
+        vx, wz = float(cmd_twist[0]), float(cmd_twist[5])
+        factor = self.grind_factor if self.in_obstacle(self.x, self.y) else 1.0
+        v = vx * factor
+        self.x += v * np.cos(self.yaw) * dt
+        self.y += v * np.sin(self.yaw) * dt
+        self.yaw += wz * dt
+        self.t += dt
+        achieved = np.zeros(6)
+        achieved[0], achieved[5] = v, wz
+        return achieved
+
+
+def run_closed_loop(
+    runtime: WVNRuntime,
+    world: SimWorld,
+    duration: float = 20.0,
+    rate: float = 5.0,
+    goal_speed: float = 1.0,
+    carrot_every: int = 2,
+):
+    """Close the full navigation loop in-process: render -> inference +
+    mission graph -> proprioceptive supervision -> online training ->
+    traversability grid map -> smart-carrot goal -> P-controller twist
+    -> world step (the reference's Gazebo + carrot_follower demo,
+    docker/README.md, without ROS). Returns the driven path and the
+    carrot goals chosen."""
+    from ..scripts.carrot_follower import FollowerConfig, follow_carrot
+
+    dt = 1.0 / rate
+    cmd = np.array([goal_speed, 0, 0, 0, 0, 0.0])
+    path = []
+    goals = []
+    step_i = 0
+    while world.t < duration:
+        pose = world.pose()
+        img = world.render(pose)
+        runtime.image_callback(img, world.t, "front", world.K, world.H, world.W,
+                               pose, world.pose_cam_in_base)
+        achieved = world.step(cmd, dt)
+        runtime.robot_state_callback(world.t, world.pose(), achieved, cmd)
+        runtime.learning_step()
+        path.append((world.t, world.x, world.y, world.yaw))
+        step_i += 1
+        if runtime.gridmap is not None and step_i % carrot_every == 0:
+            goal, _ = runtime.get_carrot(yaw=world.yaw)
+            goals.append(goal)
+            if goal is not None:
+                tw = follow_carrot(world.pose(), goal, FollowerConfig(max_linear=goal_speed))
+                if tw[0] > 0.05 or abs(tw[5]) > 1e-3:
+                    cmd = np.array([max(tw[0], 0.2), 0, 0, 0, 0, tw[5]])
+    return np.asarray(path), goals
