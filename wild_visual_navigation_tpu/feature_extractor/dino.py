@@ -26,13 +26,14 @@ from ..ops.resize import center_crop, imagenet_normalize, interpolate_bilinear, 
 
 
 def _default_attention_impl() -> str:
-    # On TPU the Pallas flash kernel with padding-tight blocks beats
-    # XLA by ~29% at the zoo's shapes (README attention shoot-out); the
-    # backbone is frozen so forward-only is fine. CPU (tests) keeps the
-    # XLA einsum path — Pallas on CPU needs interpret mode.
+    # "auto" resolves per trace-static shape (models/vit.py): the
+    # Pallas flash kernel in its proven S~1k batched pocket, bf16
+    # attention scores elsewhere; the backbone is frozen so
+    # forward-only is fine. CPU (tests) keeps the XLA einsum path —
+    # Pallas on CPU needs interpret mode.
     import jax
 
-    return "flash" if jax.devices()[0].platform == "tpu" else "xla"
+    return "auto" if jax.devices()[0].platform == "tpu" else "xla"
 
 
 class DinoInterface:

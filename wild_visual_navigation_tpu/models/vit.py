@@ -71,16 +71,28 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, H, Dh).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, Dh)
         q, k, v = qkv[0], qkv[1], qkv[2]
         scale = Dh**-0.5
-        if self.attention_impl == "flash_interpret":
+        impl = self.attention_impl
+        if impl == "auto":
+            # Shape-aware choice (token count N is trace-static): the
+            # Pallas kernel's win is only demonstrated (interleaved
+            # value-fenced medians) in the ~single-tile regime around
+            # S~1k at batch>=8; outside it XLA wins — at S=3137 the
+            # kernel measured 14x slower, and at small batch the
+            # relay-side behavior is erratic (benchmarks/bench_sweep.py,
+            # exp_flash_inmodel.py). bf16 scores are the runner-up
+            # everywhere, so "auto" = flash in the proven pocket,
+            # xla_bf16 elsewhere.
+            impl = "flash" if (B * H >= 48 and 512 <= N <= 1536) else "xla_bf16"
+        if impl == "flash_interpret":
             out = flash_attention(q, k, v, sm_scale=scale, interpret=True)
-        elif self.attention_impl.startswith("flash"):
+        elif impl.startswith("flash"):
             # "flash" or "flash:<block_q>:<block_k>" (block tuning —
             # blocks should divide the padded sequence tightly; see
             # README's attention shoot-out)
-            parts = self.attention_impl.split(":")
+            parts = impl.split(":")
             kw = dict(block_q=int(parts[1]), block_k=int(parts[2])) if len(parts) == 3 else {}
             out = flash_attention(q, k, v, sm_scale=scale, **kw)
-        elif self.attention_impl == "xla_bf16":
+        elif impl == "xla_bf16":
             out = xla_attention_bf16(q, k, v, sm_scale=scale)
         else:
             out = xla_attention(q, k, v, sm_scale=scale)
