@@ -115,3 +115,50 @@ def test_dense_flow_shapes():
     # median flow matches the true (2, 0) shift
     assert abs(np.median(f[:, 0]) - 2) < 0.5
     assert abs(np.median(f[:, 1])) < 0.5
+
+
+def test_online_export_feeds_offline_trainer(tmp_path):
+    """The full round trip the reference's deprecated offline mode
+    relies on: ONLINE replay session -> TraversabilityEstimator
+    .save_graph export -> GraphTravDataset -> OfflineTrainer. The
+    online export format must feed the offline stack unmodified."""
+    import jax
+
+    from wild_visual_navigation_tpu.cfg import (
+        ExperimentParams,
+        FeatureExtractorNodeParams,
+        LearningNodeParams,
+    )
+    from wild_visual_navigation_tpu.runtime import WVNRuntime, run_replay, synthetic_sequence
+
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=48, network_input_image_width=48,
+        segmentation_type="grid", feature_type="sift", prediction_per_pixel=False,
+        image_callback_rate=1000.0, grid_cell_size=8,
+    )
+    ln = LearningNodeParams(
+        network_input_image_height=48, network_input_image_width=48,
+        image_graph_dist_thr=0.1, supervision_graph_dist_thr=0.05,
+        min_samples_for_training=3, supervision_callback_rate=1000.0,
+    )
+    rt = WVNRuntime(fe_params=fe, ln_params=ln, key=jax.random.PRNGKey(0),
+                    buffer_capacity=32, reprojection_fanout=8)
+    seq = synthetic_sequence(duration=6.0, frame_rate=5.0, state_rate=5.0,
+                             image_size=48, seed=2, obstacle_x=3.0)
+    run_replay(rt, seq, train_every_state=1)
+
+    export = str(tmp_path / "mission")
+    rt.estimator.save_graph(export)
+    train = GraphTravDataset.from_folder(export, mode="train")
+    assert len(train) >= 4, "online session exported too few valid nodes"
+    D = train.features.shape[-1]
+
+    cfg = OfflineTrainerConfig(
+        model_cfg={"name": "SimpleMLP",
+                   "simple_mlp_cfg": {"input_size": D, "hidden_sizes": [16, 1], "reconstruction": True}},
+        epochs=10, batch_size=2, output_folder=str(tmp_path / "out"),
+    )
+    trainer = OfflineTrainer(cfg)
+    val = GraphTravDataset.from_folder(export, mode="val")
+    result = trainer.fit(train, val if len(val) else train)
+    assert result["best_checkpoint"] is not None and os.path.exists(result["best_checkpoint"])

@@ -205,6 +205,12 @@ class WVNRuntime:
         # try/except keeps the node alive on a bad frame)
         self.events = SystemEvents()
         self._swallow_errors = swallow_callback_errors
+        # input-freshness table (reference status thread,
+        # wvn_feature_extractor_node.py:238-271); ticked by the
+        # callbacks, rendered on demand or via status.start()
+        from .status import StatusMonitor
+
+        self.status = StatusMonitor(printer=None)
 
         self._build_jitted()
 
@@ -387,6 +393,7 @@ class WVNRuntime:
         Returns None when rate-gated or scheduled out.
         """
         self.events.record("image_callback_received")
+        self.status.tick(f"camera:{camera}")
         # rate gate (reference :283-285)
         last = self._last_image_ts.get(camera)
         if last is not None and (stamp - last) < 1.0 / self.fe_params.image_callback_rate:
@@ -578,6 +585,7 @@ class WVNRuntime:
     ) -> bool:
         """Proprioception path (reference wvn_learning_node.py:435-548)."""
         self.events.record("robot_state_callback_received")
+        self.status.tick("robot_state")
         if (
             self._last_supervision_ts is not None
             and (stamp - self._last_supervision_ts) < 1.0 / self.ln_params.supervision_callback_rate
