@@ -537,6 +537,23 @@ class WVNRuntime:
         if self._fused_frame is None:
             raise ValueError("image_batch_callback requires the fused path (use_fused=True, dino backbone)")
         self.events.record("image_batch_callback_received")
+        for cam in cameras:
+            self.status.tick(f"camera:{cam}")
+        try:
+            return self._image_batch_callback_body(
+                imgs, stamps, cameras, Ks, orig_h, orig_w,
+                poses_base_in_world, poses_cam_in_base,
+            )
+        except Exception as exc:
+            self.events.record_error("image_batch_callback_state", exc)
+            if not self._swallow_errors:
+                raise
+            return []
+
+    def _image_batch_callback_body(
+        self, imgs, stamps, cameras, Ks, orig_h, orig_w,
+        poses_base_in_world, poses_cam_in_base,
+    ):
         B = imgs.shape[0]
         with self._mailbox_lock:
             params, cg = self._inference_params, self._inference_cg
