@@ -270,3 +270,61 @@ def test_shipped_demo_checkpoint_loads():
     import numpy as np
 
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_quickstart_golden_regression():
+    """Deterministic end-to-end regression on the quick_start path
+    (BASELINE config 1) against a committed golden — the tier SURVEY §4
+    notes the reference lacks. Uses the shipped replay-trained head on
+    the reference fixture image; loose tolerance absorbs cross-machine
+    float variation. (The golden confidence is ~0 everywhere by design:
+    the head was trained in the replay world, so the forest image is
+    out-of-distribution and the confidence generator correctly reports
+    'never seen this'.)"""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from wild_visual_navigation_tpu.feature_extractor import FeatureExtractor
+    from wild_visual_navigation_tpu.models import get_model
+    from wild_visual_navigation_tpu.ops.resize import resize_image
+    from wild_visual_navigation_tpu.utils import (
+        ConfidenceConfig,
+        confidence_init,
+        reconstruction_confidence,
+    )
+    from wild_visual_navigation_tpu.utils.misc import load_test_image
+
+    H = 112
+    fe = FeatureExtractor(key=jax.random.PRNGKey(0), segmentation_type="slic", feature_type="dino",
+                          input_size=H, patch_size=8, backbone_type="vit_small",
+                          slic_num_components=100)
+    model = get_model({"name": "SimpleMLP",
+                       "simple_mlp_cfg": {"input_size": 384, "hidden_sizes": [256, 32, 1],
+                                           "reconstruction": True}})
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 384)))
+    cg = confidence_init()
+    with open("assets/checkpoints/replay_demo_head.ckpt", "rb") as f:
+        payload = pickle.load(f)
+    params = serialization.from_bytes(params, payload["params"])
+    cg = serialization.from_bytes(cg, payload["cg_state"])
+    cfg = ConfidenceConfig(std_factor=0.5, method="latest_measurement")
+
+    img = jnp.asarray(np.asarray(load_test_image())[..., ::6, ::6])
+    ex = fe.extract(resize_image(img, H, None), return_dense_features=True)
+    D_, Hh, Ww = ex.dense_features.shape
+    x = ex.dense_features.reshape(D_, -1).T
+    out = model.apply(params, x)
+    trav = np.asarray(out[:, 0].reshape(Hh, Ww))
+    conf = np.asarray(reconstruction_confidence(cfg, cg, x, out[:, 1:]).reshape(Hh, Ww))
+
+    gold = np.load("assets/goldens/quickstart_forest_112.npz")
+    assert trav.shape == gold["traversability"].shape
+    assert np.abs(trav - gold["traversability"]).mean() < 0.02
+    assert np.abs(conf - gold["confidence"]).mean() < 0.02
+    # segmentation should agree for the vast majority of pixels (SLIC
+    # label IDs are deterministic given the fixed init)
+    seg_agree = (np.asarray(ex.segments) == gold["segments"]).mean()
+    assert seg_agree > 0.95, seg_agree
