@@ -51,6 +51,11 @@ def main():
         supervision_callback_rate=1000.0,
         image_graph_dist_thr=0.1,
         supervision_graph_dist_thr=0.05,
+        # match quick_start.py's inference-side ConfidenceConfig: the
+        # runtime propagates this into the loss (reference
+        # wvn_learning_node.py:196), so the shipped cg_state is
+        # calibrated under the same factor quick_start thresholds with
+        confidence_std_factor=0.5,
     )
     rt = WVNRuntime(fe_params=fe, ln_params=ln, key=jax.random.PRNGKey(0))
 

@@ -117,6 +117,13 @@ class WVNRuntime:
         self.fe_params = fe_params or FeatureExtractorNodeParams()
         self.ln_params = ln_params or LearningNodeParams()
         self.exp_params = exp_params or ExperimentParams()
+        # The node-level confidence_std_factor overrides the experiment
+        # default in BOTH loss configs, exactly like the reference
+        # (wvn_learning_node.py:196, wvn_feature_extractor_node.py:112-113)
+        # — otherwise the learner calibrates cg_state under one factor
+        # while process-separated inference thresholds with another.
+        self.exp_params.loss.confidence_std_factor = self.ln_params.confidence_std_factor
+        self.exp_params.loss_anomaly.confidence_std_factor = self.ln_params.confidence_std_factor
         if key is None:
             key = jax.random.PRNGKey(0)
 
@@ -265,20 +272,7 @@ class WVNRuntime:
 
             self._frame_and_insert = _frame_and_insert
 
-            # Batched multi-camera program: all cameras' frames in ONE
-            # dispatch, dp-sharded over the mesh when one is given
-            # (SURVEY §2.4 multi-camera axis; reference time-shares via
-            # the scheduler instead, wvn_feature_extractor_node.py:283-294).
-            def _frames_batch(vit_params, mlp_params, cg_state, imgs):
-                if self.mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec
-
-                    imgs = jax.lax.with_sharding_constraint(
-                        imgs, NamedSharding(self.mesh, PartitionSpec("dp"))
-                    )
-                return jax.vmap(lambda im: frame_raw(vit_params, mlp_params, cg_state, im[None]))(imgs)
-
-            self._fused_frames_batch = jax.jit(_frames_batch)
+            self._fused_frames_batch = self._build_frames_batch(frame_raw)
         elif (
             use_fused
             and not anomaly_detection
@@ -313,16 +307,26 @@ class WVNRuntime:
 
             self._frame_and_insert = _stego_frame_and_insert
 
-            def _stego_frames_batch(stego_params, mlp_params, cg_state, imgs):
-                if self.mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec
+            self._fused_frames_batch = self._build_frames_batch(frame_raw)
 
-                    imgs = jax.lax.with_sharding_constraint(
-                        imgs, NamedSharding(self.mesh, PartitionSpec("dp"))
-                    )
-                return jax.vmap(lambda im: frame_raw(stego_params, mlp_params, cg_state, im[None]))(imgs)
+    def _build_frames_batch(self, frame_raw):
+        """Batched multi-camera program: all cameras' frames in ONE
+        dispatch, dp-sharded over the mesh when one is given (SURVEY
+        §2.4 multi-camera axis; the reference time-shares via the
+        scheduler instead, wvn_feature_extractor_node.py:283-294).
+        `frame_raw(backbone_params, mlp_params, cg_state, img)` is the
+        un-jitted fused frame body (dino or stego variant)."""
 
-            self._fused_frames_batch = jax.jit(_stego_frames_batch)
+        def _frames_batch(backbone_params, mlp_params, cg_state, imgs):
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                imgs = jax.lax.with_sharding_constraint(
+                    imgs, NamedSharding(self.mesh, PartitionSpec("dp"))
+                )
+            return jax.vmap(lambda im: frame_raw(backbone_params, mlp_params, cg_state, im[None]))(imgs)
+
+        return jax.jit(_frames_batch)
 
     # ------------------------------------------------------------ jitted
     def _build_jitted(self):
@@ -368,6 +372,23 @@ class WVNRuntime:
         self._predict_segments = _predict_segments
 
     # -------------------------------------------------------- inference
+    def _scale_K(self, K, orig_h: int, orig_w: int):
+        return scale_intrinsics(
+            jnp.asarray(K)[None], orig_h, orig_w, new_h=self._H,
+            new_w=None if self._W == self._H else self._W,
+        )[0]
+
+    def _make_mission_node(self, stamp, camera, pose_base_in_world, pose_cam_in_base) -> MissionNode:
+        return MissionNode(
+            timestamp=float(stamp),
+            pose_base_in_world=np.asarray(pose_base_in_world, dtype=np.float64),
+            pose_cam_in_base=np.asarray(pose_cam_in_base, dtype=np.float64),
+            camera_name=camera,
+            use_for_training=bool(
+                self.fe_params.camera_topics.get(camera, {}).get("use_for_training", True)
+            ),
+        )
+
     def image_callback(
         self,
         img: np.ndarray,
@@ -416,6 +437,8 @@ class WVNRuntime:
             if not self._swallow_errors:
                 raise
             return None
+        finally:
+            self._finish_deferred_shutdown()
 
     def _image_callback_body(
         self,
@@ -438,21 +461,11 @@ class WVNRuntime:
         with self._mailbox_lock:
             params, cg = self._inference_params, self._inference_cg
 
+        # shared by the fused and composed branches
+        K_scaled = self._scale_K(K, orig_h, orig_w)
+        node = self._make_mission_node(stamp, camera, pose_base_in_world, pose_cam_in_base)
+
         if self._fused_frame is not None and prediction_per_pixel == self.fe_params.prediction_per_pixel:
-            use_for_training = bool(
-                self.fe_params.camera_topics.get(camera, {}).get("use_for_training", True)
-            )
-            K_scaled = scale_intrinsics(
-                jnp.asarray(K)[None], orig_h, orig_w, new_h=self._H,
-                new_w=None if self._W == self._H else self._W,
-            )[0]
-            node = MissionNode(
-                timestamp=stamp,
-                pose_base_in_world=np.asarray(pose_base_in_world, dtype=np.float64),
-                pose_cam_in_base=np.asarray(pose_cam_in_base, dtype=np.float64),
-                camera_name=camera,
-                use_for_training=use_for_training,
-            )
             # Hold the estimator's buffer lock across read->dispatch->
             # commit: _frame_and_insert DONATES the buffer, so the
             # learning thread must not read/flush the stale pytree while
@@ -491,18 +504,6 @@ class WVNRuntime:
             )
 
         # Mission-node ingestion (imagefeat_callback equivalent)
-        use_for_training = bool(
-            self.fe_params.camera_topics.get(camera, {}).get("use_for_training", True)
-        )
-        K_scaled = scale_intrinsics(jnp.asarray(K)[None], orig_h, orig_w, new_h=self._H,
-                                    new_w=None if self._W == self._H else self._W)[0]
-        node = MissionNode(
-            timestamp=stamp,
-            pose_base_in_world=np.asarray(pose_base_in_world, dtype=np.float64),
-            pose_cam_in_base=np.asarray(pose_cam_in_base, dtype=np.float64),
-            camera_name=camera,
-            use_for_training=use_for_training,
-        )
         if ex_features is not None and ex_features.shape[0] == self._S:
             self.estimator.add_mission_node(node, ex_features, ex_feat_valid, ex_segments, K_scaled)
         if self.gridmap is not None and conf is not None:
@@ -567,15 +568,8 @@ class WVNRuntime:
         results = []
         for i in range(B):
             cam = cameras[i]
-            use_for_training = bool(
-                self.fe_params.camera_topics.get(cam, {}).get("use_for_training", True)
-            )
-            node = MissionNode(
-                timestamp=float(stamps[i]),
-                pose_base_in_world=np.asarray(poses_base_in_world[i], dtype=np.float64),
-                pose_cam_in_base=np.asarray(poses_cam_in_base[i], dtype=np.float64),
-                camera_name=cam,
-                use_for_training=use_for_training,
+            node = self._make_mission_node(
+                stamps[i], cam, poses_base_in_world[i], poses_cam_in_base[i]
             )
             self.estimator.add_mission_node(
                 node, fr.features[i], fr.feat_valid[i], fr.segments[i], K_scaled[i]
@@ -619,6 +613,8 @@ class WVNRuntime:
             if not self._swallow_errors:
                 raise
             return False
+        finally:
+            self._finish_deferred_shutdown()
 
     def _robot_state_callback_body(
         self, stamp, pose_base_in_world, current_twist, desired_twist, pose_footprint_in_base
@@ -662,6 +658,8 @@ class WVNRuntime:
             if not self._swallow_errors:
                 raise
             return self.system_state
+        finally:
+            self._finish_deferred_shutdown()
         st = self.system_state
         st.mission_graph_num_valid_node = res.get("mission_graph_num_valid_node", 0)
         st.step = self.estimator.step
@@ -780,13 +778,43 @@ class WVNRuntime:
         """Register SIGINT/SIGTERM handlers that persist a final
         checkpoint before exiting (reference wvn_learning_node.py:148-174
         registers rospy.on_shutdown + signal handlers). Call from the
-        main thread."""
+        main thread.
+
+        Signal handlers run ON the main thread, which is also where the
+        callbacks run — if the signal lands while the interrupted frame
+        is inside an estimator critical section (the buffer lock is an
+        RLock, so re-entering would "succeed" and then operate on a
+        just-donated buffer pytree), shutdown is DEFERRED: a flag is
+        set and the callback wrappers finish it after the interrupted
+        operation unwinds."""
         import signal
 
         def _handler(signum, frame):
+            owned = getattr(self.estimator.lock, "_is_owned", lambda: False)()
+            if owned:
+                # mid-critical-section: finish the interrupted operation
+                # first; _finish_deferred_shutdown runs from the callback
+                # epilogue
+                self._deferred_shutdown = (mission_path, signum)
+                return
             self.shutdown(mission_path)
             signal.signal(signum, signal.SIG_DFL)
             signal.raise_signal(signum)
 
+        self._deferred_shutdown = None
         signal.signal(signal.SIGINT, _handler)
         signal.signal(signal.SIGTERM, _handler)
+
+    def _finish_deferred_shutdown(self):
+        """Complete a shutdown deferred by the signal handler (called
+        from callback epilogues, outside any estimator lock)."""
+        req = getattr(self, "_deferred_shutdown", None)
+        if req is None:
+            return
+        import signal
+
+        mission_path, signum = req
+        self._deferred_shutdown = None
+        self.shutdown(mission_path)
+        signal.signal(signum, signal.SIG_DFL)
+        signal.raise_signal(signum)

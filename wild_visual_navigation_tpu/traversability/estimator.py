@@ -114,11 +114,16 @@ class TraversabilityEstimator:
             # The reference's ONLINE mission graph is unbounded
             # (BaseGraph) — over a long mission the host node list grows
             # without limit while only `buffer_capacity` nodes can hold
-            # training data. Cap at 4x capacity: nodes evicted here lost
-            # their ring-buffer slot 3 capacity-cycles ago, so training
-            # and radius-query behavior is unchanged.
+            # training data. Cap at 4x capacity, but never FIFO-evict a
+            # node that still owns a ring-buffer slot (with mixed
+            # training/non-training cameras, slot holders can be an
+            # arbitrarily small fraction of graph insertions): slot
+            # holders are bounded by the buffer capacity, so the graph
+            # stays <= 5x capacity total.
             self._mission_graph = MaxElementsGraph(
-                edge_distance=image_distance_thr, max_elements=4 * buffer_capacity
+                edge_distance=image_distance_thr,
+                max_elements=4 * buffer_capacity,
+                keep_fn=lambda node: getattr(node, "buffer_slot", -1) >= 0,
             )
 
         # Device state
@@ -191,10 +196,17 @@ class TraversabilityEstimator:
             if not self._pending_supervision:
                 return
             pending, self._pending_supervision = self._pending_supervision, []
-            all_counts = np.asarray(jnp.stack([c for _, c in pending]))
-        for (nodes, _), counts in zip(pending, all_counts):
-            for i, n in enumerate(nodes):
-                n._has_supervision = bool(counts[i] > 0)
+        # D2H readback OUTSIDE the lock: it drains the device queue, and
+        # camera callbacks must not stall behind it.
+        all_counts = np.asarray(jnp.stack([c for _, c in pending]))
+        with self._lock:
+            # flag writes back UNDER the lock, and only for nodes that
+            # still own their slot — allocate_slot may have recycled a
+            # node meanwhile (its supervision died with the slot).
+            for (nodes, _), counts in zip(pending, all_counts):
+                for i, n in enumerate(nodes):
+                    if n.buffer_slot >= 0:
+                        n._has_supervision = bool(counts[i] > 0)
 
     # ------------------------------------------------------------ jitted
     def _build_jitted(self):

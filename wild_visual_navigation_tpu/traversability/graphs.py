@@ -188,17 +188,32 @@ class BaseGraph:
 
 
 class MaxElementsGraph(BaseGraph):
-    """FIFO-capped graph (reference graphs.py:232-261)."""
+    """FIFO-capped graph (reference graphs.py:232-261).
 
-    def __init__(self, edge_distance: float = 0.0, max_elements: int = -1):
+    `keep_fn`: optional predicate sparing individual nodes from FIFO
+    eviction (e.g. mission nodes that still own a ring-buffer slot —
+    their count is bounded by the buffer capacity, so the graph stays
+    bounded by max_elements + that external bound)."""
+
+    def __init__(self, edge_distance: float = 0.0, max_elements: int = -1, keep_fn=None):
         super().__init__(edge_distance)
         self._max_elements = max_elements
+        self._keep_fn = keep_fn
 
     def _evict(self, new_node: BaseNode):
         n = len(self._nodes)
-        if self._max_elements > 0 and n > self._max_elements:
-            keep = np.arange(n) >= (n - self._max_elements)
-            self._apply_keep(keep)
+        if self._max_elements <= 0 or n <= self._max_elements:
+            return
+        overflow = n - self._max_elements
+        keep = np.ones(n, dtype=bool)
+        dropped = 0
+        for i in range(n):
+            if dropped >= overflow:
+                break
+            if self._keep_fn is None or not self._keep_fn(self._nodes[i]):
+                keep[i] = False
+                dropped += 1
+        self._apply_keep(keep)
 
 
 class TemporalWindowGraph(BaseGraph):

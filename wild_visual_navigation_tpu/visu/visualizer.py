@@ -97,14 +97,17 @@ class LearningVisualizer:
     def plot_traversability_overlay(self, img, traversability, confidence=None, tag="traversability"):
         return self.plot_detectron_classification(img, traversability, confidence=confidence, tag=tag)
 
-    def plot_segmentation(self, seg: np.ndarray, max_seg: Optional[int] = None, tag: str = "segmentation") -> np.ndarray:
-        """Random-color segment visualization (reference plot_segmentation)."""
+    @staticmethod
+    def _render_segmentation(seg: np.ndarray, max_seg: Optional[int] = None) -> np.ndarray:
         seg = np.asarray(seg)
         n = int(max_seg if max_seg is not None else seg.max() + 1)
         rng = np.random.RandomState(42)
         palette = rng.rand(max(n, 1), 3).astype(np.float32)
-        out = palette[np.clip(seg, 0, n - 1)]
-        return self._maybe_store(out, tag)
+        return palette[np.clip(seg, 0, n - 1)]
+
+    def plot_segmentation(self, seg: np.ndarray, max_seg: Optional[int] = None, tag: str = "segmentation") -> np.ndarray:
+        """Random-color segment visualization (reference plot_segmentation)."""
+        return self._maybe_store(self._render_segmentation(seg, max_seg), tag)
 
     def plot_list(self, imgs, tag: str = "list") -> np.ndarray:
         """Horizontal concat of equally-sized images (reference plot_list)."""
@@ -129,7 +132,7 @@ class LearningVisualizer:
         plot_detectron, visualizer.py:313-366 — the detectron2-style
         label overlay, minus per-label text)."""
         base = _to_hwc(img)
-        seg_rgb = self.plot_segmentation(seg, max_seg=max_seg, tag="_tmp_seg")
+        seg_rgb = self._render_segmentation(seg, max_seg=max_seg)
         out = base * (1 - alpha) + seg_rgb * alpha
         return self._maybe_store(np.clip(out, 0, 1), tag)
 
@@ -279,6 +282,28 @@ class LearningVisualizer:
         prediction: (S,) in [0,1]; edges: (2, E) segment-id pairs;
         centers: (S, 2) (x, y) pixel positions; img: (3, H, W)/(H, W, 3).
         """
+        return self._maybe_store(
+            self._render_traversability_graph(
+                prediction, edges, centers, img, node_valid=node_valid,
+                edge_valid=edge_valid,
+                colorize_invalid_centers=colorize_invalid_centers, radius=radius,
+            ),
+            tag,
+        )
+
+    def _render_traversability_graph(
+        self,
+        prediction: np.ndarray,
+        edges: np.ndarray,
+        centers: np.ndarray,
+        img: np.ndarray,
+        node_valid: Optional[np.ndarray] = None,
+        edge_valid: Optional[np.ndarray] = None,
+        colorize_invalid_centers: bool = False,
+        radius: int = 5,
+    ) -> np.ndarray:
+        """Rendering body without the store side effect (used by the
+        composite plots so intermediates never hit disk)."""
         from PIL import Image, ImageDraw
 
         base = (_to_hwc(img) * 255).astype(np.uint8)
@@ -306,7 +331,7 @@ class LearningVisualizer:
                 draw.ellipse(box, fill=tuple(int(c) for c in colors[i]))
             else:
                 draw.ellipse(box, fill=(127, 127, 127))
-        return self._maybe_store(np.asarray(pil).astype(np.float32) / 255.0, tag)
+        return np.asarray(pil).astype(np.float32) / 255.0
 
     def plot_traversability_graph_on_seg(
         self,
@@ -341,13 +366,13 @@ class LearningVisualizer:
     ) -> np.ndarray:
         """Side-by-side ground-truth and prediction graphs on the image
         (reference plot_graph_result, visualizer.py:425-470)."""
-        gt = self.plot_traversability_graph(
+        gt = self._render_traversability_graph(
             np.clip(np.asarray(y, np.float32), 0, 1), edges, centers, img,
-            node_valid=node_valid, tag="_tmp_gt",
+            node_valid=node_valid,
         )
-        pr = self.plot_traversability_graph(
+        pr = self._render_traversability_graph(
             np.clip(np.asarray(y_pred, np.float32), 0, 1), edges, centers, img,
-            node_valid=node_valid, tag="_tmp_pred",
+            node_valid=node_valid,
         )
         return self._maybe_store(np.concatenate([gt, pr], axis=1), tag)
 
@@ -368,9 +393,9 @@ class LearningVisualizer:
         the reference's NaN mask; here +inf/NaN both count as unset).
 
         Returns (supervision_graph_img, mask_overlay_img)."""
-        sup_img = self.plot_traversability_graph(
+        sup_img = self._render_traversability_graph(
             np.clip(np.nan_to_num(np.asarray(supervision_signal, np.float32)), 0, 1),
-            edges, centers, image, tag="_tmp_sup",
+            edges, centers, image,
         )
         mask = np.asarray(supervision_mask, np.float32)
         unset = ~np.isfinite(mask)
