@@ -24,27 +24,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
-# Persistent XLA compilation cache: repeated test sessions (and the
-# driver's repeated suite runs) skip recompilation of unchanged
-# programs — the suite is compile-dominated on CPU.
-#
-# The cache key MUST include the host CPU's feature set: XLA:CPU AOT
-# results baked for another machine's features (e.g. +prefer-no-scatter)
-# load with a warning and then SIGILL mid-suite ("Fatal Python error"
-# with no traceback). Keying the directory by the cpuinfo flags hash
-# makes a mismatched cache simply cold instead of lethal.
-import hashlib
-
-try:
-    with open("/proc/cpuinfo") as _f:
-        _flags = next((ln for ln in _f if ln.startswith("flags")), "")
-except OSError:
-    _flags = ""
-_cpu_tag = hashlib.sha1(_flags.encode()).hexdigest()[:12]
-_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache", _cpu_tag)
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent XLA compilation cache for the suite. XLA:CPU AOT cache
+# entries record the compile machine's feature set including XLA-chosen
+# pseudo-features (+prefer-no-scatter/+prefer-no-gather) that never
+# match the host-derived feature list at load time; on some hosts a
+# loaded entry then SIGILLs mid-suite as a bare "Fatal Python error"
+# with no traceback. Keying the cache dir by a cpuinfo-flags hash was
+# not sufficient (reproduced on a same-flags host), so the suite
+# compiles cold every session — slower on repeats, never lethal.
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -63,6 +63,12 @@ from .nodes import MissionNode, SupervisionNode
 _MAX_FOOTPRINT_POINTS = 64  # static pad for footprint polygons
 
 
+def _node_owns_slot(node) -> bool:
+    """Mission nodes still holding a ring-buffer slot are spared from
+    the graph's FIFO eviction (module-level so graphs stay picklable)."""
+    return getattr(node, "buffer_slot", -1) >= 0
+
+
 class TraversabilityEstimator:
     def __init__(
         self,
@@ -123,7 +129,7 @@ class TraversabilityEstimator:
             self._mission_graph = MaxElementsGraph(
                 edge_distance=image_distance_thr,
                 max_elements=4 * buffer_capacity,
-                keep_fn=lambda node: getattr(node, "buffer_slot", -1) >= 0,
+                keep_fn=_node_owns_slot,  # module-level: the graph is pickled
             )
 
         # Device state

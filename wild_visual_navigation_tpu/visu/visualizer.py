@@ -127,14 +127,31 @@ class LearningVisualizer:
         return self.plot_list(panels, tag=tag)
 
     def plot_detectron(self, img: np.ndarray, seg: np.ndarray, alpha: float = 0.5,
-                       max_seg: Optional[int] = None, tag: str = "detectron") -> np.ndarray:
+                       max_seg: Optional[int] = None, draw_labels: bool = False,
+                       labels: Optional[dict] = None, tag: str = "detectron") -> np.ndarray:
         """Segmentation overlay with random stable colors (reference
-        plot_detectron, visualizer.py:313-366 — the detectron2-style
-        label overlay, minus per-label text)."""
+        plot_detectron, visualizer.py:313-366, the detectron2-style
+        label overlay). `draw_labels` writes each segment's id (or its
+        entry in `labels`) at the segment centroid, like the reference's
+        per-label text."""
         base = _to_hwc(img)
+        seg = np.asarray(seg)
         seg_rgb = self._render_segmentation(seg, max_seg=max_seg)
-        out = base * (1 - alpha) + seg_rgb * alpha
-        return self._maybe_store(np.clip(out, 0, 1), tag)
+        out = np.clip(base * (1 - alpha) + seg_rgb * alpha, 0, 1)
+        if draw_labels:
+            from PIL import Image, ImageDraw
+
+            pil = Image.fromarray((out * 255).astype(np.uint8))
+            draw = ImageDraw.Draw(pil)
+            for sid in np.unique(seg):
+                ys, xs = np.nonzero(seg == sid)
+                if len(xs) < 20:  # skip slivers, like the reference's area gate
+                    continue
+                text = str(labels.get(int(sid), int(sid))) if labels else str(int(sid))
+                draw.text((float(xs.mean()), float(ys.mean())), text,
+                          fill=(255, 255, 255), anchor="mm")
+            out = np.asarray(pil).astype(np.float32) / 255.0
+        return self._maybe_store(out, tag)
 
     def plot_graph_on_image(self, img: np.ndarray, points_2d: np.ndarray,
                             values: Optional[np.ndarray] = None, radius: int = 2,
