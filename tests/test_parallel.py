@@ -115,75 +115,18 @@ def test_graft_entry_forward():
 
 def test_wvnruntime_mesh_matches_single_device():
     """VERDICT r1 #4: WVNRuntime with a (dp=4, tp=2) mesh must produce
-    IDENTICAL results to the unmeshed runtime over the full online loop
+    results matching the unmeshed runtime over the full online loop
     (batched multi-camera inference -> mission buffer -> supervision ->
-    train steps). The mesh only changes placement, not math."""
-    from wild_visual_navigation_tpu.cfg import FeatureExtractorNodeParams, LearningNodeParams
-    from wild_visual_navigation_tpu.runtime import WVNRuntime
+    train steps). Runs in a SUBPROCESS (tests/_mesh_runtime_check.py):
+    on some hosts XLA:CPU crashes the whole interpreter when this
+    workload runs after ~100 prior compilations in one process, while a
+    fresh interpreter is reliable."""
+    import os
+    import subprocess
 
-    def build(mesh):
-        fe = FeatureExtractorNodeParams(
-            network_input_image_height=32,
-            network_input_image_width=32,
-            segmentation_type="grid",
-            feature_type="dino",
-            dino_backbone="vit_small",
-            dino_patch_size=8,
-            image_callback_rate=1000.0,
-            camera_topics={f"cam{i}": {"use_for_training": True} for i in range(4)},
-        )
-        fe.grid_cell_size = 8
-        ln = LearningNodeParams(
-            min_samples_for_training=2,
-            image_graph_dist_thr=0.01,
-            supervision_graph_dist_thr=0.01,
-            supervision_callback_rate=1000.0,
-        )
-        return WVNRuntime(fe_params=fe, ln_params=ln, key=jax.random.PRNGKey(0),
-                          buffer_capacity=16, reprojection_fanout=4, mesh=mesh)
-
-    mesh = create_mesh(8, dp=4, tp=2)
-    rts = {"single": build(None), "meshed": build(mesh)}
-
-    rng = np.random.RandomState(0)
-    imgs = rng.rand(4, 3, 40, 40).astype(np.float32)
-    Ks = np.tile(np.array([[30.0, 0, 20], [0, 30, 20], [0, 0, 1]], np.float32), (4, 1, 1))
-    Tc = np.eye(4)
-    Tc[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]])  # looking down
-    Tc[2, 3] = 2.0
-
-    outs = {}
-    for name, rt in rts.items():
-        np.random.seed(42)  # estimator batch sampling uses the global RNG
-        trav_maps = []
-        for step in range(3):
-            poses = np.tile(np.eye(4), (4, 1, 1))
-            poses[:, 0, 3] = step * 0.5 + np.arange(4) * 0.1
-            res = rt.image_batch_callback(
-                imgs + step * 0.01, stamps=[step + 0.1 * i for i in range(4)],
-                cameras=[f"cam{i}" for i in range(4)], Ks=Ks, orig_h=40, orig_w=40,
-                poses_base_in_world=poses, poses_cam_in_base=np.tile(Tc, (4, 1, 1)),
-            )
-            trav_maps.append(np.asarray(res[0].traversability))
-            pT = np.eye(4)
-            pT[0, 3] = step * 0.5 + 0.2
-            rt.robot_state_callback(step + 0.5, pT, np.array([1.0, 0, 0, 0, 0, 0]),
-                                    np.array([1.0, 0, 0, 0, 0, 0]))
-        losses = []
-        for _ in range(5):
-            st = rt.learning_step()
-            losses.append(st.loss_total)
-        outs[name] = (trav_maps, losses,
-                      jax.tree_util.tree_map(np.asarray, rt.estimator.params))
-
-    # tp-sharded bf16 matmuls legitimately reorder reductions, so
-    # "identical" means bf16-level agreement (~1e-2), not bit equality;
-    # a wiring bug (wrong shard, dropped psum) diverges by O(1).
-    for a, b in zip(outs["single"][0], outs["meshed"][0]):
-        np.testing.assert_allclose(a, b, atol=1e-2)
-    np.testing.assert_allclose(outs["single"][1], outs["meshed"][1], rtol=5e-2, atol=5e-3)
-    jax.tree_util.tree_map(
-        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-2),
-        outs["single"][2], outs["meshed"][2],
-    )
-    assert outs["single"][1][-1] >= 0, "training never ran"
+    script = os.path.join(os.path.dirname(__file__), "_mesh_runtime_check.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    res = subprocess.run([sys.executable, script], env=env, capture_output=True,
+                         text=True, timeout=900)
+    assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-3000:]}"
+    assert "mesh runtime matches single device" in res.stdout
