@@ -29,6 +29,22 @@ from ..ops.slic import slic
 from ..utils.confidence_generator import ConfidenceConfig, confidence_inference
 
 
+def _score_rows(mlp, mlp_params, cg_cfg, cg_state, x, anomaly: bool):
+    """(N, D) feature rows -> (trav (N,), conf (N,)). Branches on the
+    head's output contract: SimpleMLP/DoubleMLP return the
+    [trav || reconstruction] array; LinearRnvp (anomaly mode) returns
+    {z, log_det, logprob} and traversability IS the calibrated flow
+    likelihood (reference wvn_feature_extractor_node.py:335-338)."""
+    out = mlp.apply(mlp_params, x)
+    if anomaly:
+        losses = jnp.sum(out["logprob"], axis=-1) + out["log_det"]
+        trav = confidence_inference(cg_cfg, cg_state, -losses)
+        return trav, jnp.ones_like(trav)
+    trav = out[:, 0]
+    reco = jnp.mean((out[:, 1:] - x) ** 2, axis=-1)
+    return trav, confidence_inference(cg_cfg, cg_state, reco)
+
+
 class FrameResult(NamedTuple):
     traversability: jnp.ndarray  # (H, W)
     confidence: jnp.ndarray  # (H, W)
@@ -53,6 +69,7 @@ def build_fused_frame_fn(
     max_edges: int = 1024,
     prediction_per_pixel: bool = True,
     score_at_patch_res: bool = False,
+    anomaly: bool = False,
     jit_compile: bool = True,
 ):
     """Returns fn(vit_params, mlp_params, cg_state, img) ->
@@ -103,19 +120,16 @@ def build_fused_frame_fn(
             seg_p = seg[ph // 2 :: ph, pw // 2 :: pw][:Hp, :Wp]
             pooled, counts = segment_ops.segment_mean_pool(feat[0], seg_p, S)
             flat = feat[0].reshape(D, -1).T  # (Hp*Wp, D)
-            out = mlp.apply(mlp_params, flat)
-            reco = jnp.mean((out[:, 1:] - flat) ** 2, axis=-1)
-            conf_p = confidence_inference(cg_cfg, cg_state, reco).reshape(1, 1, Hp, Wp)
-            trav_p = out[:, 0].reshape(1, 1, Hp, Wp)
+            trav_r, conf_r = _score_rows(mlp, mlp_params, cg_cfg, cg_state, flat, anomaly)
+            trav_p = trav_r.reshape(1, 1, Hp, Wp)
+            conf_p = conf_r.reshape(1, 1, Hp, Wp)
             if prediction_per_pixel:
                 trav = interpolate_bilinear(trav_p, H, W)[0, 0]
                 conf = interpolate_bilinear(conf_p, H, W)[0, 0]
             else:
-                out_s = mlp.apply(mlp_params, pooled)
-                reco_s = jnp.mean((out_s[:, 1:] - pooled) ** 2, axis=-1)
-                conf_seg = confidence_inference(cg_cfg, cg_state, reco_s)
+                trav_seg, conf_seg = _score_rows(mlp, mlp_params, cg_cfg, cg_state, pooled, anomaly)
                 sid = seg.clip(0, S - 1)
-                trav = out_s[:, 0][sid]
+                trav = trav_seg[sid]
                 conf = conf_seg[sid]
             return FrameResult(
                 traversability=trav,
@@ -134,16 +148,13 @@ def build_fused_frame_fn(
         D = dense.shape[0]
         if prediction_per_pixel:
             flat = dense.reshape(D, -1).T
-            out = mlp.apply(mlp_params, flat)
-            trav = out[:, 0].reshape(H, W)
-            reco = jnp.mean((out[:, 1:] - flat) ** 2, axis=-1)
-            conf = confidence_inference(cg_cfg, cg_state, reco).reshape(H, W)
+            trav, conf = _score_rows(mlp, mlp_params, cg_cfg, cg_state, flat, anomaly)
+            trav = trav.reshape(H, W)
+            conf = conf.reshape(H, W)
         else:
-            out = mlp.apply(mlp_params, pooled)
-            reco = jnp.mean((out[:, 1:] - pooled) ** 2, axis=-1)
-            conf_seg = confidence_inference(cg_cfg, cg_state, reco)
+            trav_seg, conf_seg = _score_rows(mlp, mlp_params, cg_cfg, cg_state, pooled, anomaly)
             sid = seg.clip(0, S - 1)
-            trav = out[:, 0][sid]
+            trav = trav_seg[sid]
             conf = conf_seg[sid]
 
         return FrameResult(

@@ -221,13 +221,13 @@ class WVNRuntime:
 
         self._build_jitted()
 
-        # Fused single-dispatch frame path (runtime/fused.py): available
-        # for dino backbones + on-device segmentation, not for anomaly
-        # mode (different head output contract).
+        # Fused single-dispatch frame path (runtime/fused.py): dino
+        # backbones + on-device segmentation (incl. anomaly mode) and
+        # the stego/stego mode below — every accepted frame is one
+        # device dispatch.
         self._fused_frame = None
         if (
             use_fused
-            and not anomaly_detection
             and "dino" in fp.feature_type
             and fp.segmentation_type in ("slic", "grid", "none", None)
         ):
@@ -255,6 +255,7 @@ class WVNRuntime:
                 max_edges=self.feature_extractor._max_edges,
                 prediction_per_pixel=fp.prediction_per_pixel,
                 score_at_patch_res=score_at_patch_res,
+                anomaly=anomaly_detection,
                 jit_compile=False,
             )
             self._fused_frame = jax.jit(frame_raw)
