@@ -126,7 +126,15 @@ def test_wvnruntime_mesh_matches_single_device():
 
     script = os.path.join(os.path.dirname(__file__), "_mesh_runtime_check.py")
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
-    res = subprocess.run([sys.executable, script], env=env, capture_output=True,
-                         text=True, timeout=900)
-    assert res.returncode == 0, f"stdout:\n{res.stdout}\nstderr:\n{res.stderr[-3000:]}"
+    for attempt in range(3):
+        res = subprocess.run([sys.executable, script], env=env, capture_output=True,
+                             text=True, timeout=900)
+        if res.returncode == 0:
+            break
+        if res.returncode > 0:
+            # a real Python-level failure (assertion/mismatch): no retry
+            break
+        # negative returncode = killed by a signal — the host-dependent
+        # XLA:CPU crash; a fresh attempt is reliable
+    assert res.returncode == 0, f"rc={res.returncode}\nstdout:\n{res.stdout}\nstderr:\n{res.stderr[-3000:]}"
     assert "mesh runtime matches single device" in res.stdout
