@@ -192,3 +192,37 @@ def test_two_node_inference_restart_rejoins(tmp_path):
     ref = np.asarray(ln.runtime.estimator.params["params"]["Dense_0"]["kernel"])
     got = np.asarray(node2.model_params["params"]["Dense_0"]["kernel"])
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_signal_mid_critical_section_defers_shutdown(tmp_path):
+    """A SIGTERM landing while the main thread holds the estimator lock
+    must NOT run shutdown re-entrantly (the RLock would let it operate
+    on a possibly-donated buffer); it defers, and the next callback
+    epilogue persists the checkpoint and re-raises the signal."""
+    script = textwrap.dedent(f"""
+        import os, signal, sys
+        sys.path.insert(0, {repr(os.getcwd())})
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import numpy as np
+        from tests.test_failure_handling import _tiny_runtime
+        rt = _tiny_runtime()
+        rt.install_signal_handlers({repr(str(tmp_path))})
+        # signal arrives while the estimator lock is held
+        with rt.estimator.lock:
+            os.kill(os.getpid(), signal.SIGTERM)
+            assert rt._deferred_shutdown is not None, "handler did not defer"
+            assert not os.path.exists(os.path.join({repr(str(tmp_path))}, "last_checkpoint.ckpt")), \\
+                "shutdown ran inside the critical section"
+        # the next callback completes the deferred shutdown + re-raise
+        img = np.random.RandomState(0).rand(3, 40, 40).astype(np.float32)
+        K = np.array([[30.0, 0, 20], [0, 30, 20], [0, 0, 1.0]])
+        rt.image_callback(img, 0.0, "cam", K, 40, 40, np.eye(4), np.eye(4))
+        print("UNREACHABLE")  # the epilogue re-raises SIGTERM
+    """)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    res = subprocess.run([sys.executable, "-c", script], env=env, cwd=os.getcwd(),
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == -signal.SIGTERM, (res.returncode, res.stderr[-2000:])
+    assert "UNREACHABLE" not in res.stdout
+    assert os.path.exists(tmp_path / "last_checkpoint.ckpt"), "deferred shutdown never persisted"
