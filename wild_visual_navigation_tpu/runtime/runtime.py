@@ -114,16 +114,24 @@ class WVNRuntime:
         the collectives. Single-frame callbacks and the train step are
         unchanged (replicated), so results are identical with and
         without a mesh."""
+        import dataclasses as _dc
+
         self.fe_params = fe_params or FeatureExtractorNodeParams()
         self.ln_params = ln_params or LearningNodeParams()
-        self.exp_params = exp_params or ExperimentParams()
+        ep = exp_params or ExperimentParams()
         # The node-level confidence_std_factor overrides the experiment
         # default in BOTH loss configs, exactly like the reference
         # (wvn_learning_node.py:196, wvn_feature_extractor_node.py:112-113)
         # — otherwise the learner calibrates cg_state under one factor
         # while process-separated inference thresholds with another.
-        self.exp_params.loss.confidence_std_factor = self.ln_params.confidence_std_factor
-        self.exp_params.loss_anomaly.confidence_std_factor = self.ln_params.confidence_std_factor
+        # Applied on a COPY so the caller's ExperimentParams (possibly
+        # shared with an offline trainer) is never mutated.
+        sf = self.ln_params.confidence_std_factor
+        self.exp_params = _dc.replace(
+            ep,
+            loss=_dc.replace(ep.loss, confidence_std_factor=sf),
+            loss_anomaly=_dc.replace(ep.loss_anomaly, confidence_std_factor=sf),
+        )
         if key is None:
             key = jax.random.PRNGKey(0)
 
@@ -551,6 +559,8 @@ class WVNRuntime:
             if not self._swallow_errors:
                 raise
             return []
+        finally:
+            self._finish_deferred_shutdown()
 
     def _image_batch_callback_body(
         self, imgs, stamps, cameras, Ks, orig_h, orig_w,
@@ -808,7 +818,16 @@ class WVNRuntime:
 
     def _finish_deferred_shutdown(self):
         """Complete a shutdown deferred by the signal handler (called
-        from callback epilogues, outside any estimator lock)."""
+        from callback epilogues, outside any estimator lock).
+
+        MAIN THREAD ONLY: signal handlers fire on the main thread, so
+        the deferral always belongs to it; completing from the learning
+        thread would self-join in stop_learning_thread and
+        signal.signal() raises off the main thread. The guard also
+        makes the check-and-clear single-threaded (no atomicity race
+        between epilogues)."""
+        if threading.current_thread() is not threading.main_thread():
+            return
         req = getattr(self, "_deferred_shutdown", None)
         if req is None:
             return

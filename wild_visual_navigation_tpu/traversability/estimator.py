@@ -510,10 +510,11 @@ class TraversabilityEstimator:
             np.save(path, store)
 
     # ---------------------------------------------------------- training
-    def sample_batch_indices(self, batch_size: Optional[int] = None):
-        """Random valid buffer slots (host RNG); replacement only when
-        fewer valid nodes than batch_size (fixed shapes)."""
-        self._resolve_pending_supervision()
+    def _sample_indices(self, batch_size: Optional[int] = None):
+        """Locked slot sampling WITHOUT resolving pending supervision —
+        callers must have resolved already (resolve performs a blocking
+        D2H readback that must not run while an outer RLock acquisition
+        keeps the lock held for waiting camera callbacks)."""
         batch_size = batch_size or self._batch_size
         with self._lock:
             valid = [n for n in self._mission_graph.get_valid_nodes() if n.buffer_slot >= 0]
@@ -522,13 +523,19 @@ class TraversabilityEstimator:
             slots = np.array([n.buffer_slot for n in valid], dtype=np.int32)
         return np.random.choice(slots, size=batch_size, replace=len(slots) < batch_size)
 
+    def sample_batch_indices(self, batch_size: Optional[int] = None):
+        """Random valid buffer slots (host RNG); replacement only when
+        fewer valid nodes than batch_size (fixed shapes)."""
+        self._resolve_pending_supervision()
+        return self._sample_indices(batch_size)
+
     def make_batch(self, batch_size: Optional[int] = None):
         """Sample random valid nodes and gather their training arrays
         (reference make_batch, :431-446)."""
+        idx = self.sample_batch_indices(batch_size)
+        if idx is None:
+            return None
         with self._lock:
-            idx = self.sample_batch_indices(batch_size)
-            if idx is None:
-                return None
             return self._gather_batch(self._buffer, jnp.asarray(idx))
 
     def train(self, convert_losses: bool = True) -> dict:
@@ -545,7 +552,10 @@ class TraversabilityEstimator:
         return_dict = {"mission_graph_num_valid_node": num_valid}
         if num_valid > self._min_samples_for_training:
             with self._lock:
-                idx = self.sample_batch_indices(self._batch_size)
+                # _sample_indices, not sample_batch_indices: pending
+                # supervision was resolved above, and resolving again
+                # here would run its D2H readback with the RLock held
+                idx = self._sample_indices(self._batch_size)
                 if idx is None:
                     return_dict["loss_total"] = -1
                     return return_dict

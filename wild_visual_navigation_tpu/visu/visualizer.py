@@ -143,12 +143,16 @@ class LearningVisualizer:
 
             pil = Image.fromarray((out * 255).astype(np.uint8))
             draw = ImageDraw.Draw(pil)
-            for sid in np.unique(seg):
-                ys, xs = np.nonzero(seg == sid)
-                if len(xs) < 20:  # skip slivers, like the reference's area gate
+            # one vectorized pass for all areas + centroids
+            ids, inv, counts = np.unique(seg, return_inverse=True, return_counts=True)
+            ys, xs = np.nonzero(np.ones_like(seg, dtype=bool))
+            sum_x = np.bincount(inv.ravel(), weights=xs, minlength=len(ids))
+            sum_y = np.bincount(inv.ravel(), weights=ys, minlength=len(ids))
+            for i, sid in enumerate(ids):
+                if counts[i] < 20:  # skip slivers, like the reference's area gate
                     continue
                 text = str(labels.get(int(sid), int(sid))) if labels else str(int(sid))
-                draw.text((float(xs.mean()), float(ys.mean())), text,
+                draw.text((sum_x[i] / counts[i], sum_y[i] / counts[i]), text,
                           fill=(255, 255, 255), anchor="mm")
             out = np.asarray(pil).astype(np.float32) / 255.0
         return self._maybe_store(out, tag)
