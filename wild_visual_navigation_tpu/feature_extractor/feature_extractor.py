@@ -100,7 +100,10 @@ class FeatureExtractor:
             self._feature_dim = 384
             self._extractor = None
         elif feature_type == "histogram":
-            # Reference stub (feature_extractor.py:273-274).
+            # The reference declares this type with dim 90 but stubs it
+            # (feature_extractor.py:66,273-274); implemented here as a
+            # dense soft HSV-bin encoding (ops/histogram.py) whose
+            # per-segment mean IS the segment color histogram.
             self._feature_dim = 90
             self._extractor = None
         elif feature_type == "none":
@@ -196,7 +199,9 @@ class FeatureExtractor:
         if ft == "sift":
             return dense_sift_features(img[0])
         if ft == "histogram":
-            raise NotImplementedError("histogram features are a stub in the reference too (feature_extractor.py:273)")
+            from ..ops.histogram import dense_color_histogram
+
+            return dense_color_histogram(img[0])
         if ft == "none":
             return None
         raise ValueError(ft)
