@@ -125,11 +125,25 @@ def main():
     fence()
     t_train = (time.time() - t0) / n
 
+    # per-iteration train-step latency distribution (each iteration
+    # value-fenced -> includes one relay round trip; the north star is
+    # a p50 claim, so report percentiles, not just the chained mean)
+    lat = []
+    for i in range(12):
+        t0 = time.time()
+        rt.learning_step()
+        fence()
+        lat.append(time.time() - t0)
+    lat = sorted(lat[2:])  # discard warmup
+
     frame_time_ms = 100.0  # 10 Hz camera
     result = {
         "image_callback_ms": round(t_img * 1e3, 2),
         "supervision_update_ms": round(t_sup * 1e3, 2),
         "train_step_ms": round(t_train * 1e3, 2),
+        "train_step_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
+        "train_step_p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 2),
+        "train_p50_under_frame_time": float(np.percentile(lat, 50)) * 1e3 < frame_time_ms,
         "train_under_frame_time": t_train * 1e3 < frame_time_ms,
         "sustainable_rates_hz": {
             "images": round(1 / t_img, 1),
