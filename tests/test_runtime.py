@@ -379,3 +379,48 @@ def test_runtime_with_double_mlp():
     for _ in range(8):
         st = rt.learning_step()
     assert st.step > 0 and st.loss_total >= 0
+
+
+def test_runtime_with_torchvision_fused():
+    """CNN-pyramid (torchvision) mode through the fused single-dispatch
+    path: resnet18 pyramid -> multiscale segment pooling -> per-segment
+    scoring, plus the online loop."""
+    import jax
+    import numpy as np
+
+    from wild_visual_navigation_tpu.cfg import FeatureExtractorNodeParams, LearningNodeParams
+    from wild_visual_navigation_tpu.runtime import WVNRuntime
+
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=32, network_input_image_width=32,
+        segmentation_type="grid", feature_type="torchvision",
+        prediction_per_pixel=False,
+        image_callback_rate=1000.0, grid_cell_size=8,
+        camera_topics={"front": {"use_for_training": True}},
+    )
+    ln = LearningNodeParams(min_samples_for_training=2,
+                            image_graph_dist_thr=0.05,
+                            supervision_callback_rate=1000.0)
+    rt = WVNRuntime(fe_params=fe, ln_params=ln, key=jax.random.PRNGKey(0),
+                    buffer_capacity=8, reprojection_fanout=4)
+    assert rt._fused_frame is not None
+
+    img = np.random.RandomState(0).rand(3, 40, 40).astype(np.float32)
+    K = np.array([[30.0, 0, 20], [0, 30, 20], [0, 0, 1]])
+    Tc = np.eye(4)
+    Tc[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]])
+    Tc[2, 3] = 2.0
+    for i in range(5):
+        T = np.eye(4)
+        T[0, 3] = i * 0.3
+        res = rt.image_callback(img + 0.01 * i, float(i), "front", K, 40, 40, T, Tc)
+        pT = np.eye(4)
+        pT[0, 3] = i * 0.3 + 0.5
+        rt.robot_state_callback(float(i) + 0.1, pT, np.array([1.0, 0, 0, 0, 0, 0]),
+                                np.array([1.0, 0, 0, 0, 0, 0]))
+    assert res is not None and np.isfinite(np.asarray(res.traversability)).all()
+    feats = np.asarray(rt.estimator.buffer.features[0])
+    assert np.isfinite(feats).all() and np.abs(feats).sum() > 0
+    for _ in range(6):
+        st = rt.learning_step()
+    assert st.step > 0

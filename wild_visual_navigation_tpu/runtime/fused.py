@@ -254,6 +254,68 @@ def build_fused_stego_frame_fn(
     return jax.jit(frame) if jit_compile else frame
 
 
+def build_fused_torchvision_frame_fn(
+    tvi,
+    mlp,
+    cg_cfg: ConfidenceConfig,
+    input_size: int,
+    segmentation_type: str = "slic",
+    num_segments: int = 100,
+    slic_compactness: float = 10.0,
+    slic_iterations: int = 10,
+    cell_size: int = 32,
+    max_edges: int = 1024,
+    jit_compile: bool = True,
+):
+    """Fused CNN-pyramid path: image -> resize/normalize -> resnet/
+    efficientnet feature pyramid -> SLIC/grid segmentation -> multiscale
+    per-segment pooling (with centroid fallback at coarse scales) ->
+    per-segment MLP scoring, one program. The reference's torchvision
+    mode is inherently per-segment (multiscale sparsify,
+    feature_extractor.py:314-366), so the trav/confidence maps are the
+    per-segment scores gathered over the segmentation.
+
+    Returns fn(tv_params, mlp_params, cg_state, img) -> FrameResult.
+    """
+    H = W = input_size
+    S = num_segments
+    model = tvi.model
+
+    def frame(tv_params, mlp_params, cg_state, img):
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        x = resize_smaller_edge_nearest(img, H)
+        x = center_crop(x, H)
+        xn = imagenet_normalize(x)
+        pyr = model.apply(tv_params, xn)  # {name: (1, C_i, H_i, W_i)}
+
+        if segmentation_type == "slic":
+            seg = slic(x[0], num_components=S, compactness=slic_compactness, iterations=slic_iterations)
+        elif segmentation_type == "grid":
+            seg = segment_ops.segment_grid(H, W, cell_size)
+        else:
+            raise ValueError(f"fused torchvision path does not support segmentation [{segmentation_type}]")
+
+        pooled, seg_valid = segment_ops.segment_pyramid_pool({k: v[0] for k, v in pyr.items()}, seg, S)
+        edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
+        centers, _ = segment_ops.segment_centers(seg, S)
+
+        trav_seg, conf_seg = _score_rows(mlp, mlp_params, cg_cfg, cg_state, pooled, anomaly=False)
+        sid = seg.clip(0, S - 1)
+        return FrameResult(
+            traversability=trav_seg[sid],
+            confidence=conf_seg[sid],
+            features=pooled,
+            feat_valid=seg_valid,
+            segments=seg,
+            edges=edges,
+            edge_valid=edge_valid,
+            centers=centers,
+        )
+
+    return jax.jit(frame) if jit_compile else frame
+
+
 def build_fused_batch_fn(vit, mlp, input_size: int, batch: int):
     """Multi-camera batched variant: (B, 3, H, W) -> per-pixel trav maps
     in one program (cameras batched into one pjit call — SURVEY §2.4's

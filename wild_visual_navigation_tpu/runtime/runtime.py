@@ -317,6 +317,43 @@ class WVNRuntime:
             self._frame_and_insert = _stego_frame_and_insert
 
             self._fused_frames_batch = self._build_frames_batch(frame_raw)
+        elif (
+            use_fused
+            and not anomaly_detection
+            and fp.feature_type == "torchvision"
+            and fp.segmentation_type in ("slic", "grid")
+        ):
+            # CNN-pyramid mode fused too — per-segment by construction
+            # (the reference's multiscale sparsify path).
+            from .fused import build_fused_torchvision_frame_fn
+            from ..traversability.mission_buffer import buffer_insert_impl
+
+            tvi = self.feature_extractor._extractor
+            frame_raw = build_fused_torchvision_frame_fn(
+                tvi,
+                self.estimator.model,
+                self.estimator._cg_cfg,
+                input_size=self._H,
+                segmentation_type=fp.segmentation_type,
+                num_segments=self._S,
+                slic_compactness=self.feature_extractor._slic_compactness,
+                cell_size=self.feature_extractor._cell_size,
+                max_edges=self.feature_extractor._max_edges,
+                jit_compile=False,
+            )
+            self._fused_frame = jax.jit(frame_raw)
+            self._vit_params = tvi.params
+
+            @partial(jax.jit, donate_argnums=(4,))
+            def _tv_frame_and_insert(tv_params, mlp_params, cg_state, img, buf, slot, K_scaled, pose_cam):
+                fr = frame_raw(tv_params, mlp_params, cg_state, img)
+                new_buf = buffer_insert_impl(
+                    buf, slot, fr.features, fr.feat_valid, fr.segments, K_scaled, pose_cam
+                )
+                return fr, new_buf
+
+            self._frame_and_insert = _tv_frame_and_insert
+            self._fused_frames_batch = self._build_frames_batch(frame_raw)
 
     def _build_frames_batch(self, frame_raw):
         """Batched multi-camera program: all cameras' frames in ONE
