@@ -1,24 +1,31 @@
-"""Benchmark: flagship inference throughput on one chip.
+"""Benchmark: flagship inference throughput on one chip — BOTH scoring paths.
 
 Measures the BASELINE north-star metric (BASELINE.md): images/sec for
-the full per-frame pipeline — ImageNet normalize -> DINOv2 ViT-S/14
-backbone -> dense per-patch SimpleMLP traversability + reconstruction
-scoring — at 448 px on the real TPU. The reference design point is
-10 images/sec/camera on an RTX-class GPU (default.yaml:39);
-`vs_baseline` is the ratio against that 10 img/s.
+the full per-frame pipeline — DINOv2 ViT-S/14 backbone at 448 px plus
+the SimpleMLP traversability head — in the two scoring orders the
+framework supports:
+
+  * pixelwise (HEADLINE, the reference's actual per-pixel math,
+    /root/reference/.../dino_interface.py:87-91 + quick_start.py:184-194
+    and this repo's runtime/fused.py per-pixel branch): bilinear
+    upsample of the D=384-channel patch features to 448x448, then the
+    MLP over all 200,704 pixels — traversability AND confidence maps
+    (reconstruction MSE -> confidence_inference), ~111 GFLOP +
+    ~0.5 GB HBM traffic per frame;
+  * patchres (the TPU-native fast path, opt-in in the product via
+    score_at_patch_res + tolerance-tested): score the 1,024 patch
+    tokens and bilinearly upsample the 1-channel maps, ~64 GFLOP/frame.
+
+`vs_baseline` for both divides by the reference's own design gate of
+10 images/sec/camera (the rate gate in
+wild_visual_navigation_ros/config/.../default.yaml:39 — the reference
+publishes no measured throughput, see BASELINE.md). MFU is matmul+
+attention FLOPs over the v5e bf16 peak (197 TFLOP/s).
 
 Configuration (the TPU perf profile, all covered by tolerance tests):
-  * attention_impl="flash" — the Pallas flash kernel with
-    padding-tight blocks (one 1152 tile at S=1025) keeps the (S, S)
-    scores in VMEM entirely (ops/flash_attention.py; it beats XLA
-    fp32 542 -> bf16-scores 646 -> flash ~760 img/s backbone-only);
-  * ln_dtype=bfloat16 — bf16 LayerNorm IO (stats still fp32);
-  * ImageNet normalization folded into the patch-embed conv weights
-    (models/vit.py::fold_imagenet_normalize — exact, equivalence-
-    tested), removing two full-image HBM sweeps per frame;
-  * bf16 MLP head scoring at patch resolution;
-  * batch 32, 4 batches per dispatch via lax.scan (amortizes the
-    per-dispatch overhead measured in benchmarks/exp_vit_breakdown.py).
+flash attention (padding-tight single 1152 tile at S=1025), bf16
+LayerNorm IO, ImageNet normalization folded into the patch embedding,
+bf16 MLP scoring, lax.scan-chained batches per dispatch.
 
 Measurement method (validated with a known-FLOP probe against this
 environment's TPU relay, whose block_until_ready can return before
@@ -28,8 +35,8 @@ download, first round discarded, median of 3 rounds reported —
 run-to-run contention on the shared relay swings single measurements
 up to ~10x (see benchmarks/exp_*.py).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+Prints ONE JSON line; the headline metric/value is the pixelwise path,
+with the patchres entry nested under "patchres".
 """
 
 from __future__ import annotations
@@ -42,17 +49,39 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-BASELINE_IMAGES_PER_SEC = 10.0  # reference rate gate per camera
-BATCH = 32
-SCAN = 4  # batches per dispatch
+BASELINE_IMAGES_PER_SEC = 10.0  # reference per-camera rate gate (design point)
 SIZE = 448
-ITERS = 15  # chained dispatches per round (ITERS * SCAN * BATCH images)
 ROUNDS = 3
-
-# matmul+attention FLOPs per image: 12 blocks x (12 D^2 per token x S
-# + 4 S^2 D attention) + patch embed, S=1025, D=384 -> ~63.5 GFLOP
-FLOP_PER_IMAGE = 63.5e9
 PEAK_TFLOPS = 197.0  # v5e bf16
+
+# matmul+attention FLOPs per image, backbone: 12 blocks x (12 D^2 per
+# token x S + 4 S^2 D attention) + patch embed, S=1025, D=384 -> ~63.5e9.
+FLOP_BACKBONE = 63.5e9
+# MLP head per row: 2*(384*256 + 256*32 + 32*385) = 237,632 FLOPs.
+FLOP_MLP_ROW = 2 * (384 * 256 + 256 * 32 + 32 * 385)
+FLOP_PATCHRES = FLOP_BACKBONE + FLOP_MLP_ROW * (SIZE // 14) ** 2  # ~63.7e9
+FLOP_PIXELWISE = FLOP_BACKBONE + FLOP_MLP_ROW * SIZE * SIZE  # ~111.2e9
+
+
+def _measure(pipeline, params, gen_batch, batch_images: int, iters: int):
+    """Carry-chained, value-fenced median rate over ROUNDS (first
+    discarded)."""
+    import jax.numpy as jnp
+
+    base = gen_batch()
+    float(jnp.asarray(pipeline(*params, base)).ravel()[0])  # compile + complete
+    rates = []
+    for r in range(ROUNDS + 1):
+        t0 = time.time()
+        carry = jnp.zeros(())
+        for i in range(iters):
+            out = pipeline(*params, base + carry * 1e-12 + i * 1e-9)
+            carry = jnp.asarray(out).ravel()[0]
+        float(carry)  # value fence: forces true completion through the relay
+        dt = time.time() - t0
+        if r > 0:  # first round absorbs relay warmup
+            rates.append(iters * batch_images / dt)
+    return statistics.median(rates), rates
 
 
 def main():
@@ -61,6 +90,12 @@ def main():
 
     from wild_visual_navigation_tpu.models import get_model
     from wild_visual_navigation_tpu.models.vit import dense_features, fold_imagenet_normalize, make_vit
+    from wild_visual_navigation_tpu.ops.resize import interpolate_bilinear
+    from wild_visual_navigation_tpu.utils.confidence_generator import (
+        ConfidenceConfig,
+        confidence_inference,
+        confidence_init,
+    )
 
     vit = make_vit("dinov2", "vit_small", 14, attention_impl="flash", ln_dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
@@ -72,50 +107,76 @@ def main():
                             "dtype": jnp.bfloat16},
     })
     mlp_params = mlp.init(jax.random.PRNGKey(1), jnp.zeros((1, D)))
+    cg_cfg = ConfidenceConfig()
+    cg_state = confidence_init()
 
-    def one_batch(vp, mp, imgs):
-        feat = dense_features(vit, vp, imgs)  # (B, D, Hp, Wp); raw [0,1] in
+    # ---------------- pixelwise: the reference's per-pixel order ----------------
+    PX_BATCH, PX_SCAN, PX_ITERS = 4, 2, 10
 
+    def one_batch_pixelwise(vp, mp, imgs):
+        feat = dense_features(vit, vp, imgs)  # (B, D, Hp, Wp)
+        dense = interpolate_bilinear(feat.astype(jnp.bfloat16), SIZE, SIZE)  # (B, D, H, W)
+        B = dense.shape[0]
+        flat = dense.transpose(0, 2, 3, 1).reshape(-1, D)
+        out = mlp.apply(mp, flat)
+        trav = out[:, 0].reshape(B, SIZE, SIZE)
+        reco = jnp.mean((out[:, 1:] - flat.astype(jnp.float32)) ** 2, axis=-1)
+        conf = confidence_inference(cg_cfg, cg_state, reco).reshape(B, SIZE, SIZE)
+        return trav, conf
+
+    @jax.jit
+    def pipeline_pixelwise(vp, mp, imgs):  # (SCAN, B, 3, H, W)
+        def body(carry, im):
+            t, c = one_batch_pixelwise(vp, mp, im + carry * 1e-12)
+            return t[0, 0, 0] + c[0, 0, 0], (t[:, 0, 0], c[:, 0, 0])
+
+        _, outs = jax.lax.scan(body, jnp.zeros(()), imgs)
+        return outs[0]
+
+    # ---------------- patchres: the TPU-native fast path ----------------
+    PR_BATCH, PR_SCAN, PR_ITERS = 32, 4, 15
+
+    def one_batch_patchres(vp, mp, imgs):
+        feat = dense_features(vit, vp, imgs)  # (B, D, Hp, Wp)
         B, Dd, Hp, Wp = feat.shape
         flat = feat.transpose(0, 2, 3, 1).reshape(-1, Dd).astype(jnp.bfloat16)
         out = mlp.apply(mp, flat)
         return out[:, 0].reshape(B, Hp, Wp)
 
     @jax.jit
-    def pipeline(vp, mp, imgs):  # (SCAN, B, 3, H, W)
+    def pipeline_patchres(vp, mp, imgs):
         def body(carry, im):
-            t = one_batch(vp, mp, im + carry * 1e-12)
+            t = one_batch_patchres(vp, mp, im + carry * 1e-12)
             return t[0, 0, 0], t[:, 0, 0]
 
         _, outs = jax.lax.scan(body, jnp.zeros(()), imgs)
         return outs
 
-    gen = jax.jit(lambda k: jax.random.uniform(k, (SCAN, BATCH, 3, SIZE, SIZE)))
-    base = gen(jax.random.fold_in(key, 7))
-    base.block_until_ready()
+    gen_px = jax.jit(lambda: jax.random.uniform(jax.random.fold_in(key, 7), (PX_SCAN, PX_BATCH, 3, SIZE, SIZE)))
+    gen_pr = jax.jit(lambda: jax.random.uniform(jax.random.fold_in(key, 8), (PR_SCAN, PR_BATCH, 3, SIZE, SIZE)))
 
-    float(pipeline(vit_params, mlp_params, base)[0, 0])  # compile + complete
+    px_rate, px_rounds = _measure(pipeline_pixelwise, (vit_params, mlp_params), gen_px,
+                                  PX_SCAN * PX_BATCH, PX_ITERS)
+    pr_rate, pr_rounds = _measure(pipeline_patchres, (vit_params, mlp_params), gen_pr,
+                                  PR_SCAN * PR_BATCH, PR_ITERS)
 
-    rates = []
-    for r in range(ROUNDS + 1):
-        t0 = time.time()
-        carry = jnp.zeros(())
-        for i in range(ITERS):
-            out = pipeline(vit_params, mlp_params, base + carry * 1e-12 + i * 1e-9)
-            carry = out.ravel()[0]
-        float(carry)  # value fence: forces true completion through the relay
-        dt = time.time() - t0
-        if r > 0:  # first round absorbs relay warmup
-            rates.append(ITERS * SCAN * BATCH / dt)
-
-    images_per_sec = statistics.median(rates)
     result = {
-        "metric": "dinov2_vits14_448px_dense_traversability_throughput",
-        "value": round(images_per_sec, 2),
+        "metric": "dinov2_vits14_448px_pixelwise_traversability_throughput",
+        "value": round(px_rate, 2),
         "unit": "images/sec",
-        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
-        "rounds": [round(x, 1) for x in rates],
-        "mfu": round(images_per_sec * FLOP_PER_IMAGE / (PEAK_TFLOPS * 1e12), 3),
+        "vs_baseline": round(px_rate / BASELINE_IMAGES_PER_SEC, 2),
+        "baseline_definition": "reference design gate: 10 img/s/camera rate limit (default.yaml:39); reference publishes no measured throughput",
+        "mfu": round(px_rate * FLOP_PIXELWISE / (PEAK_TFLOPS * 1e12), 3),
+        "rounds": [round(x, 1) for x in px_rounds],
+        "work": "448^2 per-pixel MLP traversability + confidence maps (reference math, dino_interface.py:87-91)",
+        "patchres": {
+            "metric": "dinov2_vits14_448px_patchres_traversability_throughput",
+            "value": round(pr_rate, 2),
+            "vs_baseline": round(pr_rate / BASELINE_IMAGES_PER_SEC, 2),
+            "mfu": round(pr_rate * FLOP_PATCHRES / (PEAK_TFLOPS * 1e12), 3),
+            "rounds": [round(x, 1) for x in pr_rounds],
+            "work": "per-patch-token scoring (1024 rows/frame; the r1/r2 ladder metric: 401 -> 689)",
+        },
     }
     print(json.dumps(result))
 

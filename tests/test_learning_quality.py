@@ -79,3 +79,21 @@ def test_online_loop_learns_obstacle_appearance():
     assert band_trav < corridor_trav - 0.3, (
         f"model did not learn the obstacle: band {band_trav:.3f} vs corridor {corridor_trav:.3f}"
     )
+
+    # Pinned ROC gate (VERDICT r3 #7), mirroring the reference's
+    # offline ROC/AUC metrics (.deprecated/lightning/
+    # lightning_module.py:26-28): over band + corridor pixels, with
+    # band = untraversable class and (1 - trav) as the untraversable
+    # score, the AUC must clear a hard numeric threshold so learning
+    # regressions fail CI quantitatively, not just directionally.
+    from wild_visual_navigation_tpu.offline.metrics import auroc
+
+    pix = band | corridor
+    auc = auroc((1.0 - trav)[pix], band[pix])
+    # measured 0.85 on this replay (SIFT @64 px); 0.80 = regression
+    # floor with headroom (0.5 would be chance)
+    assert auc >= 0.80, f"obstacle-vs-corridor AUC regressed: {auc:.3f} < 0.80"
+    # and the separation margin itself, pinned
+    assert corridor_trav - band_trav >= 0.35, (
+        f"separation margin regressed: {corridor_trav - band_trav:.3f} < 0.35"
+    )

@@ -1,0 +1,165 @@
+"""Multi-process CPU dryrun: the product estimator trained globally.
+
+Spawns N jax processes (one per simulated camera group), each with its
+own virtual CPU devices, joined into ONE global ("dp",) mesh via
+jax.distributed + Gloo collectives. Every process:
+
+  1. builds the PRODUCT TraversabilityEstimator (tiny shapes), ingests
+     its own camera group's mission nodes and supervision footprints
+     locally (graph gating + reprojection on local devices);
+  2. joins collective `DistributedTrainer.step()` calls — the
+     estimator's own `_train_step_on_batch` over the global dp-sharded
+     sample rows (grad psum spans processes);
+  3. syncs the replicated params back and prints a params checksum.
+
+The parent verifies all ranks exit 0 and print the SAME checksum (the
+replicated state stayed consistent across hosts). This is the
+multi-host story SURVEY §2.4 asks for, validated without real hosts.
+
+Usage: python tools/dryrun_multiprocess.py [--procs 2] [--devices 4]
+Exit code 0 = OK. Also spawned by __graft_entry__.dryrun_multichip and
+tests/test_distributed.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def child(rank: int, procs: int, devices: int, coord: str) -> None:
+    from wild_visual_navigation_tpu.parallel.distributed import (
+        DistributedTrainer,
+        initialize_process,
+    )
+
+    initialize_process(coord, procs, rank, cpu_devices=devices)
+
+    import jax
+    import numpy as np
+
+    assert len(jax.local_devices()) == devices
+    assert len(jax.devices()) == procs * devices
+    print(f"[rank {rank}] local={devices} global={len(jax.devices())}", flush=True)
+
+    from wild_visual_navigation_tpu.traversability import (
+        MissionNode,
+        SupervisionNode,
+        TraversabilityEstimator,
+    )
+
+    S, D, H = 16, 32, 32
+    est = TraversabilityEstimator(
+        model_cfg={"name": "SimpleMLP",
+                   "simple_mlp_cfg": {"input_size": D, "hidden_sizes": [64, 1], "reconstruction": True}},
+        num_segments=S, feature_dim=D, image_height=H, image_width=H,
+        buffer_capacity=16, reprojection_fanout=8, batch_size=4,
+        min_samples_for_training=2, seed=42,  # same seed -> identical init across ranks
+    )
+
+    # Per-rank camera-group data: disjoint trajectories.
+    rng = np.random.RandomState(100 + rank)
+    K = np.array([[40.0, 0, H / 2], [0, 40.0, H / 2], [0, 0, 1]], np.float32)
+    down = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
+    for i in range(6):
+        pose = np.eye(4)
+        pose[0, 3] = i * 0.5
+        pose[1, 3] = 10.0 * rank
+        pose[2, 3] = 1.5
+        pose[:3, :3] = down
+        node = MissionNode(timestamp=float(i), pose_base_in_world=pose,
+                           pose_cam_in_base=np.eye(4), camera_name=f"cam{rank}")
+        est.add_mission_node(node, rng.randn(S, D).astype(np.float32), np.ones(S, bool),
+                             (np.arange(H * H) % S).reshape(H, H).astype(np.int32), K)
+    for i in range(8):
+        pose = np.eye(4)
+        pose[0, 3] = i * 0.3
+        pose[1, 3] = 10.0 * rank
+        sn = SupervisionNode(
+            timestamp=float(i) + 0.1, pose_base_in_world=pose, pose_footprint_in_base=np.eye(4),
+            twist_in_base=np.array([0.5, 0, 0, 0, 0, 0.0]),
+            desired_twist_in_base=np.array([0.5, 0, 0, 0, 0, 0.0]),
+            length=0.8, width=0.4, height=0.2,
+            traversability=0.8, traversability_var=0.1, is_untraversable=False,
+        )
+        est.add_supervision_node(sn)
+
+    trainer = DistributedTrainer(est)
+    np.random.seed(7 + rank)  # rank-dependent local sampling is fine — rows are per-process
+    last = {}
+    for _ in range(5):
+        last = trainer.step()
+    trainer.sync_to_estimator()
+    assert np.isfinite(last["loss_total"]), last
+    assert est.step == 5
+
+    checksum = float(sum(np.abs(np.asarray(l)).sum() for l in jax.tree_util.tree_leaves(est.params)))
+    print(f"[rank {rank}] DISTRIBUTED OK loss={last['loss_total']:.6f} checksum={checksum:.8f}", flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--devices", type=int, default=4, help="virtual CPU devices per process")
+    ap.add_argument("--timeout", type=float, default=240.0)
+    ap.add_argument("--rank", type=int, default=None, help="(internal) run as this child rank")
+    ap.add_argument("--coord", type=str, default=None)
+    args = ap.parse_args()
+
+    if args.rank is not None:
+        child(args.rank, args.procs, args.devices, args.coord)
+        return 0
+
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = []
+    for rank in range(args.procs):
+        procs.append(subprocess.Popen(
+            [sys.executable, __file__, "--rank", str(rank), "--procs", str(args.procs),
+             "--devices", str(args.devices), "--coord", coord],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs, rcs = [], []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=args.timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+        rcs.append(p.returncode)
+
+    checksums = []
+    for rank, (rc, out) in enumerate(zip(rcs, outs)):
+        ok_lines = [l for l in out.splitlines() if "DISTRIBUTED OK" in l]
+        if rc != 0 or not ok_lines:
+            print(f"--- rank {rank} FAILED (rc={rc}) ---\n{out[-3000:]}")
+            return 1
+        checksums.append(ok_lines[0].split("checksum=")[1])
+        print(ok_lines[0])
+    if len(set(checksums)) != 1:
+        print(f"checksum mismatch across ranks: {checksums}")
+        return 1
+    print(f"multiprocess dryrun OK: {args.procs} procs x {args.devices} devices, replicated state consistent")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -65,8 +65,18 @@ class DinoInterface:
 
         @partial(jax.jit, static_argnames=("out_h", "out_w"))
         def _infer(params, img, out_h, out_w):
-            x = resize_smaller_edge_nearest(img, self._input_size)
-            x = center_crop(x, self._input_size)
+            H, W = img.shape[2], img.shape[3]
+            ps = self._patch_size
+            if min(H, W) == self._input_size and H % ps == 0 and W % ps == 0:
+                # Already at network size and patch-aligned: feed the
+                # full frame (a no-op for the square case — resize +
+                # center-crop would not change it; for rectangular
+                # configs this keeps the whole field of view instead
+                # of silently cropping to a square).
+                x = img
+            else:
+                x = resize_smaller_edge_nearest(img, self._input_size)
+                x = center_crop(x, self._input_size)
             x = imagenet_normalize(x)
             out = self.vit.apply(params, x)
             hp, wp = out["grid"]
@@ -97,8 +107,14 @@ class DinoInterface:
         return self._patch_size
 
     def inference(self, img: jnp.ndarray) -> jnp.ndarray:
-        """img: (B, 3, H, W) RGB in [0, 1] -> (B, D, H, H) dense
-        features, upsampled to the input's (H, H) exactly like the
-        reference (dino_interface.py:87-91)."""
-        H = img.shape[2]
+        """img: (B, 3, H, W) RGB in [0, 1] -> dense features,
+        bilinearly upsampled to pixels exactly like the reference
+        (dino_interface.py:87-91 upsamples to (H, H)). Square inputs
+        return (B, D, H, H) as before; a rectangular input already at
+        network size (smaller edge == input_size, patch-aligned)
+        returns (B, D, H, W) over the full frame."""
+        H, W = img.shape[2], img.shape[3]
+        ps = self._patch_size
+        if min(H, W) == self._input_size and H % ps == 0 and W % ps == 0:
+            return self._infer(self.params, img, H, W)
         return self._infer(self.params, img, H, H)

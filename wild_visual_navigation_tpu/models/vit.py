@@ -30,6 +30,12 @@ import jax.numpy as jnp
 
 from ..ops.flash_attention import flash_attention, xla_attention, xla_attention_bf16
 
+# One log line per traced (B, H, S) shape when attention_impl="auto"
+# resolves — "auto" silently picking bf16-score attention outside the
+# flash pocket changes output values by ~1 bf16 ulp vs the fp32 parity
+# configuration, and that choice should be visible (ADVICE r2).
+_AUTO_RESOLVED_LOGGED: set = set()
+
 
 @dataclass(frozen=True)
 class ViTConfig:
@@ -83,6 +89,9 @@ class Attention(nn.Module):
             # everywhere, so "auto" = flash in the proven pocket,
             # xla_bf16 elsewhere.
             impl = "flash" if (B * H >= 48 and 512 <= N <= 1536) else "xla_bf16"
+            if (B, H, N) not in _AUTO_RESOLVED_LOGGED:  # trace-time, once per shape
+                _AUTO_RESOLVED_LOGGED.add((B, H, N))
+                print(f"[vit] attention auto(B={B}, heads={H}, S={N}) -> {impl}")
         if impl == "flash_interpret":
             out = flash_attention(q, k, v, sm_scale=scale, interpret=True)
         elif impl.startswith("flash"):
@@ -250,8 +259,12 @@ def fold_imagenet_normalize(params) -> dict:
     patch embedding with per-input-channel-rescaled kernels and a
     shifted bias, so the full-image elementwise normalization pass
     (two HBM sweeps of every frame) disappears: feed RAW [0, 1] images
-    to a ViT carrying folded params. Exact to fp32 rounding
-    (tests/test_models.py)."""
+    to a ViT carrying folded params. Exact to fp32 rounding in an fp32
+    ViT (measured ~6e-6); under the default bf16 ViT the rescaled
+    kernel rounds differently in bf16, so folded vs unfolded outputs
+    differ at the bf16 quantization floor (~one ulp, measured 0.036 on
+    a 4.25 activation scale — tests/test_models.py; the perf profile
+    accepts this)."""
     from ..ops.resize import IMAGENET_MEAN, IMAGENET_STD
 
     params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy

@@ -1,3 +1,4 @@
+from .distributed import DistributedTrainer, create_global_mesh, initialize_process
 from .mesh import (
     create_mesh,
     make_multichip_inference,

@@ -1,0 +1,186 @@
+"""Multi-process / multi-host deployment: one process per camera group.
+
+SURVEY §2.4 names the requirement the reference's ROS fabric implies
+but never scales: "the comm layer should expose a mesh abstraction so
+multi-host fan-out (one host per camera group) is possible". The
+TPU-native architecture here:
+
+  * each process runs its own runtime/estimator for INGESTION (feature
+    extraction, graph bookkeeping, supervision reprojection) on its
+    local devices — per-camera-group work needs no cross-host traffic;
+  * the TRAIN step is GLOBAL data-parallel: every process contributes
+    its local sample rows, the rows form one dp-sharded global array,
+    and all processes collectively execute the estimator's PRODUCT
+    train step (`_train_step_on_batch`: confidence-weighted loss ->
+    grads -> psum over dp -> Adam). Params / optimizer / confidence
+    state live as fully-replicated global arrays, so every camera
+    group learns from every group's supervision;
+  * at the hot-swap cadence each process writes the replicated params
+    back into its local estimator (`sync_to_estimator`) for inference
+    and checkpointing.
+
+Collectives ride whatever links the mesh spans — ICI inside a pod
+slice, DCN/Gloo across hosts; XLA inserts them from the shardings
+(the scaling-book recipe; no hand-written NCCL/MPI).
+
+Validated end-to-end on a multi-process CPU mesh by
+tools/dryrun_multiprocess.py (spawned from __graft_entry__ and
+tests/test_distributed.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def initialize_process(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    cpu_devices: Optional[int] = None,
+) -> None:
+    """jax.distributed.initialize with this environment's CPU quirks
+    handled: the sitecustomize pre-registers backends, so the local
+    CPU device count must be set through jax.config BEFORE the first
+    backend touch (XLA_FLAGS alone is ignored)."""
+    import jax
+
+    if cpu_devices is not None:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", cpu_devices)
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def create_global_mesh():
+    """1-D ("dp",) mesh over ALL processes' devices — the distributed
+    trainer's batch axis. (tp inside the train step is pointless for
+    the MLP head; the backbone's tp mesh stays process-local.)"""
+    import jax
+    from jax.experimental import mesh_utils
+    from jax.sharding import Mesh
+
+    arr = mesh_utils.create_device_mesh((len(jax.devices()),))
+    return Mesh(arr, axis_names=("dp",))
+
+
+def _to_global(x, sharding):
+    """Host numpy -> global array with `sharding` (every process calls
+    this collectively; for replicated shardings each process must pass
+    identical data)."""
+    import jax
+
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def _to_local(garr) -> np.ndarray:
+    """Fully-replicated global array -> host numpy (any addressable
+    shard holds the complete value)."""
+    return np.asarray(garr.addressable_data(0))
+
+
+class DistributedTrainer:
+    """Global data-parallel trainer over per-process product estimators.
+
+    ALL methods marked collective must be called by every process at
+    the same point in its loop (they execute global programs). `step()`
+    is safe to call when a process has no trainable data yet — it
+    contributes fully-masked rows, which the masked loss reductions
+    ignore, so slow camera groups never deadlock the fleet.
+    """
+
+    def __init__(self, estimator, mesh=None):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._est = estimator
+        self._mesh = mesh or create_global_mesh()
+        self._dp = NamedSharding(self._mesh, P("dp"))
+        self._repl = NamedSharding(self._mesh, P())
+        # Promote the local optimization state to global replicated
+        # arrays (collective). All processes start from the same seed,
+        # so the local copies are identical by construction; a loaded
+        # checkpoint must be loaded by every process before this.
+        to_repl = lambda t: jax.tree_util.tree_map(lambda l: _to_global(l, self._repl), t)
+        self._params = to_repl(estimator.params)
+        self._opt_state = to_repl(estimator._opt_state)
+        self._cg_state = type(estimator.confidence_state)(
+            *[_to_global(l, self._repl) for l in estimator.confidence_state]
+        )
+        self._step = estimator.step
+        self._rows = estimator._batch_size * estimator._S
+        self._D = estimator._D
+
+    @property
+    def step_count(self) -> int:
+        return self._step
+
+    def _local_rows(self):
+        """Sample this process's contribution: (rows, D) features,
+        (rows,) labels / label-valid / sample-valid. All-masked when
+        no local data is trainable yet."""
+        import jax.numpy as jnp
+
+        est = self._est
+        idx = est.sample_batch_indices()
+        ready = (
+            idx is not None
+            and est._mission_graph.get_num_valid_nodes() > est._min_samples_for_training
+        )
+        if not ready:
+            return (
+                np.zeros((self._rows, self._D), np.float32),
+                np.zeros((self._rows,), np.float32),
+                np.zeros((self._rows,), bool),
+                np.zeros((self._rows,), bool),
+            )
+        with est.lock:
+            x, y, yv, sv = est._gather_batch(est._buffer, jnp.asarray(idx))
+        return (
+            np.asarray(x).reshape(-1, self._D),
+            np.asarray(y).reshape(-1),
+            np.asarray(yv).reshape(-1),
+            np.asarray(sv).reshape(-1),
+        )
+
+    def step(self) -> dict:
+        """One COLLECTIVE optimization step of the product train step
+        over the global dp-sharded batch."""
+        from ..utils.data import TravBatch
+
+        x, y, yv, sv = self._local_rows()
+        batch = TravBatch(
+            x=_to_global(x, self._dp),
+            y=_to_global(y, self._dp),
+            y_valid=_to_global(yv, self._dp),
+            sample_valid=_to_global(sv, self._dp),
+        )
+        self._params, self._opt_state, self._cg_state, loss, aux = (
+            self._est._train_step_on_batch(self._params, self._opt_state, self._cg_state, batch)
+        )
+        self._step += 1
+        return {"loss_total": float(loss), "step": self._step,
+                **{k: float(v) for k, v in aux.items()}}
+
+    def sync_to_estimator(self) -> None:
+        """Write the replicated global params / optimizer / confidence
+        state back into the local estimator (hot-swap + checkpoint
+        surface). Local-only; call at the checkpoint cadence."""
+        import jax
+        import jax.numpy as jnp
+
+        local = lambda t: jax.tree_util.tree_map(lambda l: jnp.asarray(_to_local(l)), t)
+        self._est.adopt_train_state(
+            local(self._params),
+            local(self._opt_state),
+            type(self._est.confidence_state)(
+                *[jnp.asarray(_to_local(l)) for l in self._cg_state]
+            ),
+            step=self._step,
+        )

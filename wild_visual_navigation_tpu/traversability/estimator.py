@@ -49,6 +49,7 @@ from ..utils.confidence_generator import (
     confidence_state_dict,
 )
 from ..utils.data import TravBatch
+from ..utils.locks import TrackedRLock
 from ..utils.loss import (
     AnomalyLossConfig,
     TraversabilityLossConfig,
@@ -96,8 +97,21 @@ class TraversabilityEstimator:
         log_confidence_folder: Optional[str] = None,
         log_every: int = 20,
         supervision_flush_every: int = 1,
+        graph_max_elements_factor: int = 4,
+        mesh=None,
     ):
+        """graph_max_elements_factor: the ONLINE mission graph keeps at
+        most `factor * buffer_capacity` host nodes (the reference keeps
+        its graph unbounded — a documented divergence, see PARITY.md;
+        slot-holding nodes are never evicted regardless).
+
+        mesh: optional jax.sharding.Mesh with ("dp", "tp") axes. When
+        given, the train step shards the sample batch and the
+        supervision reprojection shards its fan-out axis over "dp"
+        (parallel/mesh.py) — XLA inserts the gradient psum / gathers.
+        Numerics are unchanged (equivalence-tested on the CPU mesh)."""
         self._mode = mode
+        self._mesh = mesh
         self._extraction_store_folder = extraction_store_folder
         self._min_samples_for_training = min_samples_for_training
         self._batch_size = batch_size
@@ -120,15 +134,16 @@ class TraversabilityEstimator:
             # The reference's ONLINE mission graph is unbounded
             # (BaseGraph) — over a long mission the host node list grows
             # without limit while only `buffer_capacity` nodes can hold
-            # training data. Cap at 4x capacity, but never FIFO-evict a
+            # training data. Cap at graph_max_elements_factor x capacity
+            # (documented divergence, PARITY.md), but never FIFO-evict a
             # node that still owns a ring-buffer slot (with mixed
             # training/non-training cameras, slot holders can be an
             # arbitrarily small fraction of graph insertions): slot
             # holders are bounded by the buffer capacity, so the graph
-            # stays <= 5x capacity total.
+            # stays <= (factor+1) x capacity total.
             self._mission_graph = MaxElementsGraph(
                 edge_distance=image_distance_thr,
-                max_elements=4 * buffer_capacity,
+                max_elements=graph_max_elements_factor * buffer_capacity,
                 keep_fn=_node_owns_slot,  # module-level: the graph is pickled
             )
 
@@ -161,7 +176,7 @@ class TraversabilityEstimator:
         # device arrays). Callbacks and the learning thread both take
         # it; the runtime holds it across its fused
         # allocate->insert->commit sequence via the `lock` property.
-        self._lock = threading.RLock()
+        self._lock = TrackedRLock()
         self._pause_training = False
         self._pause_mission_graph = False
         self._pause_supervision_graph = False
@@ -220,6 +235,23 @@ class TraversabilityEstimator:
         model, tx = self._model, self._tx
         loss_cfg = self._loss_cfg
         anomaly = self._anomaly_detection
+        mesh = self._mesh
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def _shard_rows(x):
+                """Constrain the leading axis over the mesh's dp axis
+                (SURVEY §2.4 / §5: the reprojection fan-out and the
+                training batch are the scaling axes — XLA splits the
+                rasterization / forward+backward across chips and
+                inserts the psum/all-gathers)."""
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, PartitionSpec("dp", *([None] * (x.ndim - 1))))
+                )
+        else:
+            def _shard_rows(x):
+                return x
 
         @partial(jax.jit, donate_argnums=(0,))
         def _reproject_update(buf: MissionBuffer, idxs, footprints, travs):
@@ -228,15 +260,17 @@ class TraversabilityEstimator:
             idxs: (Q, B_max) int32 slots (== capacity pads, which
             scatter-drop); footprints: (Q, P, 3); travs: (Q,). A
             lax.scan over Q reproduces the exact sequential fmin
-            semantics of Q separate updates."""
+            semantics of Q separate updates. Under a mesh, the B_max
+            fan-out axis (project + rasterize + fuse + segment means
+            per in-range view) is dp-sharded."""
 
             def one(buf, args):
                 idx, footprint, trav = args
                 sel = idx.clip(0, buf.capacity - 1)
-                K_sel = buf.K[sel]
-                pose_sel = buf.pose_cam_in_world[sel]
-                masks_sel = buf.supervision_mask[sel]
-                seg_sel = buf.seg[sel]
+                K_sel = _shard_rows(buf.K[sel])
+                pose_sel = _shard_rows(buf.pose_cam_in_world[sel])
+                masks_sel = _shard_rows(buf.supervision_mask[sel])
+                seg_sel = _shard_rows(buf.seg[sel])
                 B = idx.shape[0]
                 cam = Camera(K=K_sel, height=H, width=W)
                 pts = jnp.broadcast_to(footprint[None], (B, footprint.shape[0], 3))
@@ -262,21 +296,12 @@ class TraversabilityEstimator:
             res = model.apply(params, batch.x)
             return traversability_loss(loss_cfg, batch, res, cg_state)
 
-        # NOTE: params are NOT donated — the runtime's inference mailbox
-        # aliases the latest params pytree (zero-copy hot-swap), so the
-        # train step must not invalidate the previous buffers. They are
-        # tiny (an MLP head); only the optimizer state is donated.
-        # The batch gather happens INSIDE the step (buf + idx in), so
-        # one training iteration is a single device dispatch.
-        @partial(jax.jit, donate_argnums=(1,))
-        def _train_step(params, opt_state, cg_state, buf: MissionBuffer, idx):
-            x = buf.features[idx]
-            y = buf.signal[idx]
-            yv = buf.signal_valid[idx]
-            sv = buf.feat_valid[idx] & buf.valid[idx][:, None]
-            batch = TravBatch(
-                x=x.reshape(-1, x.shape[-1]), y=y.reshape(-1), y_valid=yv.reshape(-1), sample_valid=sv.reshape(-1)
-            )
+        def _step_on_batch(params, opt_state, cg_state, batch: TravBatch):
+            """The product optimization step on an assembled TravBatch:
+            confidence-weighted loss -> grads -> Adam -> confidence
+            state update. Shared by the fused single-dispatch step
+            below and the multi-process trainer
+            (parallel/distributed.py), so both run identical math."""
 
             def lf(p):
                 loss, aux, cg2 = _loss_on_batch(p, batch, cg_state)
@@ -288,6 +313,25 @@ class TraversabilityEstimator:
             small_aux = {k: v for k, v in aux.items() if k != "confidence"}
             return params2, opt2, cg2, loss, small_aux
 
+        # NOTE: params are NOT donated — the runtime's inference mailbox
+        # aliases the latest params pytree (zero-copy hot-swap), so the
+        # train step must not invalidate the previous buffers. They are
+        # tiny (an MLP head); only the optimizer state is donated.
+        # The batch gather happens INSIDE the step (buf + idx in), so
+        # one training iteration is a single device dispatch. Under a
+        # mesh, the gathered sample rows are dp-sharded, so the
+        # forward/backward splits across chips and XLA psums the grads.
+        @partial(jax.jit, donate_argnums=(1,))
+        def _train_step(params, opt_state, cg_state, buf: MissionBuffer, idx):
+            x = _shard_rows(buf.features[idx])
+            y = _shard_rows(buf.signal[idx])
+            yv = _shard_rows(buf.signal_valid[idx])
+            sv = _shard_rows(buf.feat_valid[idx] & buf.valid[idx][:, None])
+            batch = TravBatch(
+                x=x.reshape(-1, x.shape[-1]), y=y.reshape(-1), y_valid=yv.reshape(-1), sample_valid=sv.reshape(-1)
+            )
+            return _step_on_batch(params, opt_state, cg_state, batch)
+
         @jax.jit
         def _gather_batch(buf: MissionBuffer, idx):
             x = buf.features[idx]
@@ -298,6 +342,7 @@ class TraversabilityEstimator:
 
         self._reproject_update = _reproject_update
         self._train_step_fn = _train_step
+        self._train_step_on_batch = jax.jit(_step_on_batch)
         self._gather_batch = _gather_batch
 
     # --------------------------------------------------------- properties
@@ -410,10 +455,13 @@ class TraversabilityEstimator:
             self._buffer = new_buffer
 
     @property
-    def lock(self) -> "threading.RLock":
+    def lock(self) -> TrackedRLock:
         """The single lock serializing mission-buffer access. External
         fused programs that donate the buffer (runtime/_frame_and_insert)
-        must hold it across read->dispatch->commit."""
+        must hold it across read->dispatch->commit. TrackedRLock: the
+        runtime's signal handler reads `held_by_current_thread` to
+        decide whether to defer shutdown (fail-safe ownership, no
+        CPython-private API)."""
         return self._lock
 
     def add_mission_node(
@@ -586,6 +634,18 @@ class TraversabilityEstimator:
         return_dict["loss_total"] = -1
         return return_dict
 
+    def adopt_train_state(self, params, opt_state, cg_state, step: Optional[int] = None):
+        """Replace the optimization state wholesale — used by the
+        multi-process trainer (parallel/distributed.py), which steps
+        the global replicated copies and periodically writes the
+        process-local view back for inference/checkpointing."""
+        with self._lock:
+            self._params = params
+            self._opt_state = opt_state
+            self._cg_state = cg_state
+            if step is not None:
+                self._step = step
+
     # ------------------------------------------------------- checkpoints
     def state_dict_for_hot_swap(self) -> dict:
         """The params + confidence payload the inference process polls
@@ -704,9 +764,13 @@ class TraversabilityEstimator:
             state["_pending_supervision"] = []
             state["_pending_footprints"] = []
             # locks, jitted closures, and the optax transformation (local
-            # closures) are rebuilt in __setstate__
-            for k in ("_lock", "_reproject_update", "_train_step_fn", "_gather_batch", "_tx"):
+            # closures) are rebuilt in __setstate__; the mesh holds
+            # process-local Device handles and is dropped (a loaded
+            # estimator runs un-meshed until given a new one).
+            for k in ("_lock", "_reproject_update", "_train_step_fn",
+                      "_train_step_on_batch", "_gather_batch", "_tx"):
                 state.pop(k, None)
+            state["_mesh"] = None
             state["_buffer"] = jax.tree_util.tree_map(np.asarray, self._buffer)
             state["_params"] = jax.tree_util.tree_map(np.asarray, self._params)
             state["_opt_state"] = jax.tree_util.tree_map(np.asarray, self._opt_state)
@@ -719,7 +783,7 @@ class TraversabilityEstimator:
         self._params = jax.tree_util.tree_map(jnp.asarray, self._params)
         self._opt_state = jax.tree_util.tree_map(jnp.asarray, self._opt_state)
         self._cg_state = jax.tree_util.tree_map(jnp.asarray, self._cg_state)
-        self._lock = threading.RLock()
+        self._lock = TrackedRLock()
         self._tx = optax.adam(self._lr)
         self._build_jitted()
 

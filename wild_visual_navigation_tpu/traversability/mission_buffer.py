@@ -86,3 +86,37 @@ def buffer_insert_impl(
 
 
 buffer_insert = partial(jax.jit, donate_argnums=(0,))(buffer_insert_impl)
+
+
+def buffer_insert_batch_impl(
+    buf: MissionBuffer,
+    slots: jnp.ndarray,  # (B,) int32; out-of-range (== capacity) rows DROP
+    features: jnp.ndarray,  # (B, S, D)
+    feat_valid: jnp.ndarray,  # (B, S)
+    seg: jnp.ndarray,  # (B, H, W)
+    K: jnp.ndarray,  # (B, 3, 3)
+    pose_cam_in_world: jnp.ndarray,  # (B, 4, 4)
+) -> MissionBuffer:
+    """Write B mission nodes in ONE scatter per field (the multi-camera
+    batched path previously paid B separate insert dispatches —
+    VERDICT r2 #3). Rows whose slot is out of range (non-training
+    cameras, graph-gated frames) are dropped by the scatter."""
+    B = slots.shape[0]
+    return buf._replace(
+        features=buf.features.at[slots].set(features, mode="drop"),
+        feat_valid=buf.feat_valid.at[slots].set(feat_valid, mode="drop"),
+        seg=buf.seg.at[slots].set(seg.astype(jnp.int32), mode="drop"),
+        supervision_mask=buf.supervision_mask.at[slots].set(
+            jnp.full((B,) + buf.supervision_mask.shape[1:], UNSET, buf.supervision_mask.dtype),
+            mode="drop",
+        ),
+        signal=buf.signal.at[slots].set(jnp.zeros((B,) + buf.signal.shape[1:]), mode="drop"),
+        signal_valid=buf.signal_valid.at[slots].set(
+            jnp.zeros((B,) + buf.signal_valid.shape[1:], bool), mode="drop"
+        ),
+        K=buf.K.at[slots].set(K.astype(jnp.float32), mode="drop"),
+        pose_cam_in_world=buf.pose_cam_in_world.at[slots].set(
+            pose_cam_in_world.astype(jnp.float32), mode="drop"
+        ),
+        valid=buf.valid.at[slots].set(jnp.ones((B,), bool), mode="drop"),
+    )
