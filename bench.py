@@ -90,7 +90,7 @@ def main():
 
     from wild_visual_navigation_tpu.models import get_model
     from wild_visual_navigation_tpu.models.vit import dense_features, fold_imagenet_normalize, make_vit
-    from wild_visual_navigation_tpu.ops.resize import interpolate_bilinear
+    from wild_visual_navigation_tpu.ops.resize import interpolate_bilinear_mxu
     from wild_visual_navigation_tpu.utils.confidence_generator import (
         ConfidenceConfig,
         confidence_inference,
@@ -115,7 +115,10 @@ def main():
 
     def one_batch_pixelwise(vp, mp, imgs):
         feat = dense_features(vit, vp, imgs)  # (B, D, Hp, Wp)
-        dense = interpolate_bilinear(feat.astype(jnp.bfloat16), SIZE, SIZE)  # (B, D, H, W)
+        # matmul-formulated bilinear (ops/resize.py::interpolate_bilinear_mxu,
+        # equivalence-tested): the gather formulation materializes 4x
+        # the output and starves on HBM
+        dense = interpolate_bilinear_mxu(feat.astype(jnp.bfloat16), SIZE, SIZE)  # (B, D, H, W)
         B = dense.shape[0]
         flat = dense.transpose(0, 2, 3, 1).reshape(-1, D)
         out = mlp.apply(mp, flat)
@@ -136,21 +139,30 @@ def main():
     # ---------------- patchres: the TPU-native fast path ----------------
     PR_BATCH, PR_SCAN, PR_ITERS = 32, 4, 15
 
-    def one_batch_patchres(vp, mp, imgs):
-        feat = dense_features(vit, vp, imgs)  # (B, D, Hp, Wp)
-        B, Dd, Hp, Wp = feat.shape
-        flat = feat.transpose(0, 2, 3, 1).reshape(-1, Dd).astype(jnp.bfloat16)
-        out = mlp.apply(mp, flat)
-        return out[:, 0].reshape(B, Hp, Wp)
+    def make_pipeline_patchres(vitmod):
+        def one_batch(vp, mp, imgs):
+            feat = dense_features(vitmod, vp, imgs)  # (B, D, Hp, Wp)
+            B, Dd, Hp, Wp = feat.shape
+            flat = feat.transpose(0, 2, 3, 1).reshape(-1, Dd).astype(jnp.bfloat16)
+            out = mlp.apply(mp, flat)
+            return out[:, 0].reshape(B, Hp, Wp)
 
-    @jax.jit
-    def pipeline_patchres(vp, mp, imgs):
-        def body(carry, im):
-            t = one_batch_patchres(vp, mp, im + carry * 1e-12)
-            return t[0, 0, 0], t[:, 0, 0]
+        @jax.jit
+        def pipeline(vp, mp, imgs):
+            def body(carry, im):
+                t = one_batch(vp, mp, im + carry * 1e-12)
+                return t[0, 0, 0], t[:, 0, 0]
 
-        _, outs = jax.lax.scan(body, jnp.zeros(()), imgs)
-        return outs
+            _, outs = jax.lax.scan(body, jnp.zeros(()), imgs)
+            return outs
+
+        return pipeline
+
+    pipeline_patchres = make_pipeline_patchres(vit)
+    # int8 backbone variant (W8A8 dynamic, models/quant.py; same params)
+    vit_int8 = make_vit("dinov2", "vit_small", 14, attention_impl="flash",
+                        ln_dtype=jnp.bfloat16, quant="int8")
+    pipeline_patchres_int8 = make_pipeline_patchres(vit_int8)
 
     gen_px = jax.jit(lambda: jax.random.uniform(jax.random.fold_in(key, 7), (PX_SCAN, PX_BATCH, 3, SIZE, SIZE)))
     gen_pr = jax.jit(lambda: jax.random.uniform(jax.random.fold_in(key, 8), (PR_SCAN, PR_BATCH, 3, SIZE, SIZE)))
@@ -159,6 +171,8 @@ def main():
                                   PX_SCAN * PX_BATCH, PX_ITERS)
     pr_rate, pr_rounds = _measure(pipeline_patchres, (vit_params, mlp_params), gen_pr,
                                   PR_SCAN * PR_BATCH, PR_ITERS)
+    q_rate, q_rounds = _measure(pipeline_patchres_int8, (vit_params, mlp_params), gen_pr,
+                                PR_SCAN * PR_BATCH, PR_ITERS)
 
     result = {
         "metric": "dinov2_vits14_448px_pixelwise_traversability_throughput",
@@ -176,6 +190,13 @@ def main():
             "mfu": round(pr_rate * FLOP_PATCHRES / (PEAK_TFLOPS * 1e12), 3),
             "rounds": [round(x, 1) for x in pr_rounds],
             "work": "per-patch-token scoring (1024 rows/frame; the r1/r2 ladder metric: 401 -> 689)",
+        },
+        "patchres_int8_backbone": {
+            "metric": "dinov2_vits14_448px_patchres_int8_throughput",
+            "value": round(q_rate, 2),
+            "vs_baseline": round(q_rate / BASELINE_IMAGES_PER_SEC, 2),
+            "rounds": [round(x, 1) for x in q_rounds],
+            "work": "opt-in W8A8 backbone (models/quant.py, ~1.5% feature err, tolerance-pinned)",
         },
     }
     print(json.dumps(result))

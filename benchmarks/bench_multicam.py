@@ -41,6 +41,123 @@ def _percentiles(ts):
     return round(float(np.percentile(a, 50)) * 1e3, 2), round(float(np.percentile(a, 95)) * 1e3, 2)
 
 
+def product_main(args):
+    """--product: drive the ACTUAL runtime — WVNRuntime.image_batch_callback
+    (one fused frames+insert dispatch for all cameras) + the estimator's
+    supervision flush, pending-count resolution, graph bookkeeping, the
+    mailbox hot-swap, and the train step — so the number includes
+    everything the standalone-stage cycle below excludes (VERDICT r2 #3).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wild_visual_navigation_tpu.cfg import (
+        ExperimentParams,
+        FeatureExtractorNodeParams,
+        LearningNodeParams,
+    )
+    from wild_visual_navigation_tpu.runtime import WVNRuntime
+
+    size = (args.size // 14) * 14
+    B = args.cameras
+    cam_topics = {f"cam{i}": {"use_for_training": True, "scheduler_weight": 1} for i in range(B)}
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=size, network_input_image_width=size,
+        segmentation_type="grid", feature_type="dinov2",
+        dino_backbone=args.backbone_type, dino_patch_size=14,
+        grid_cell_size=size // 10, prediction_per_pixel=True,
+        image_callback_rate=1e6, camera_topics=cam_topics,
+    )
+    ln = LearningNodeParams(
+        network_input_image_height=size, network_input_image_width=size,
+        supervision_callback_rate=1e6, learning_thread_rate=1e6,
+        image_graph_dist_thr=0.05, supervision_graph_dist_thr=0.05,
+        min_samples_for_training=4, camera_topics=cam_topics,
+        traversability_radius=3.0,
+    )
+    rt = WVNRuntime(
+        fe_params=fe, ln_params=ln, exp_params=ExperimentParams(),
+        buffer_capacity=64, reprojection_fanout=32,
+        supervision_flush_every=args.flush_every,
+        score_at_patch_res=True,  # the TPU-native scoring path (see bench.py)
+    )
+
+    rng = np.random.RandomState(0)
+    # pool of distinct float frame batches (relay memoization defeat) —
+    # carry-chained below for a true data dependency
+    frames = [jax.device_put(rng.rand(B, 3, size, size).astype(np.float32)) for _ in range(8)]
+    K = np.tile(np.array([[400.0, 0, size / 2], [0, 400.0, size / 2], [0, 0, 1]], np.float64), (B, 1, 1))
+    down = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
+    jax.block_until_ready(frames)
+
+    def poses_at(step: float):
+        pb = np.tile(np.eye(4), (B, 1, 1))
+        pc = np.tile(np.eye(4), (B, 1, 1))
+        for i in range(B):
+            pb[i, 0, 3] = step * 0.11
+            pb[i, 1, 3] = 0.0
+            pb[i, 2, 3] = 1.5
+            pb[i, :3, :3] = down
+            pc[i, 0, 3] = 0.05 * i  # distinct camera offsets
+        return pb, pc
+
+    def one_cycle(t: float, imgs):
+        pb, pc = poses_at(t)
+        res = rt.image_batch_callback(
+            imgs, [t + 0.001 * i for i in range(B)], list(cam_topics), K, size, size, pb, pc,
+        )
+        base = np.eye(4)
+        base[0, 3] = t * 0.11
+        rt.robot_state_callback(
+            t + 0.0005, base,
+            np.array([0.5, 0, 0, 0, 0, 0.0]), np.array([0.5, 0, 0, 0, 0, 0.0]),
+        )
+        rt.learning_step()
+        return res
+
+    # warm-in: compile everything + accumulate trainable nodes
+    for w in range(8):
+        res = one_cycle(float(w), frames[w % len(frames)])
+    float(jnp.sum(res[0].traversability))  # fence
+    assert rt.estimator.step > 0, "train never stepped during warm-in"
+
+    # chained cycles (throughput)
+    t0 = time.time()
+    carry = jnp.zeros(())
+    for i in range(args.iters):
+        res = one_cycle(100.0 + i, frames[i % len(frames)] + carry * 1e-12)
+        carry = res[0].traversability[0, 0]
+    float(carry)  # value fence
+    dt = (time.time() - t0) / args.iters
+
+    # per-cycle latency distribution (each cycle fenced -> includes one
+    # relay round trip; conservative upper bound)
+    ts = []
+    for i in range(args.lat_iters):
+        t1 = time.time()
+        res = one_cycle(1000.0 + i, frames[i % len(frames)] + float(i) * 1e-9)
+        float(jnp.sum(res[0].traversability))
+        ts.append(time.time() - t1)
+    ts = ts[4:]
+    p50, p95 = _percentiles(ts)
+    frame_ms = 100.0  # 10 Hz design gate (reference default.yaml:39)
+
+    result = {
+        "config": f"PRODUCT_{args.cameras}cam_dinov2_{args.backbone_type}_{size}px_full_runtime",
+        "cycle_ms": round(dt * 1e3, 2),
+        "per_camera_hz": round(1.0 / dt, 2),
+        "images_per_sec": round(B / dt, 2),
+        "train_steps": rt.estimator.step,
+        "valid_nodes": rt.estimator.get_num_valid_nodes(),
+        "cycle_p50_ms": p50,
+        "cycle_p95_ms": p95,
+        "fraction_cycles_under_frame_time": round(float(np.mean(np.asarray(ts) < frame_ms / 1e3)), 3),
+        "meets_10hz_gate": bool(1.0 / dt >= 10.0),
+    }
+    print(json.dumps(result))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cameras", type=int, default=4)
@@ -48,7 +165,12 @@ def main():
     ap.add_argument("--backbone_type", type=str, default="vit_base")
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--lat_iters", type=int, default=20)
+    ap.add_argument("--product", action="store_true",
+                    help="drive WVNRuntime end-to-end instead of standalone stage replicas")
+    ap.add_argument("--flush_every", type=int, default=1, help="(--product) supervision micro-batching")
     args = ap.parse_args()
+    if args.product:
+        return product_main(args)
 
     import jax
     import jax.numpy as jnp

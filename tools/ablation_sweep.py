@@ -1,0 +1,140 @@
+"""Feature x segmentation ablation harness.
+
+The analogue of the reference paper's ablation driver
+(/root/reference/.deprecated/scripts/ablations/training_ablation.py +
+train_optuna.py, which sweep slic100_{dino,sift,resnet,...} datasets
+through the Lightning trainer and tabulate ROC/AUC): for each
+(segmentation_type, feature_type) combination this harness
+
+  1. runs the ONLINE loop on a synthetic replay world
+     (runtime/replay.py — the rosbag analogue) with that extractor
+     configuration, generating self-supervised labels;
+  2. exports the mission graph (TraversabilityEstimator.save_graph —
+     the reference's dataset-generation path, :347-375);
+  3. trains the OFFLINE trainer (offline/trainer.py) on the export
+     with a train/val split and records val AUROC / accuracy / loss.
+
+One command -> results table (CSV + markdown) under --out:
+
+    python tools/ablation_sweep.py [--combos grid:sift,grid:histogram]
+        [--duration 10] [--size 64] [--out results/ablations]
+
+Backbone weights are random-init in zero-egress environments, so
+absolute AUCs are not paper-comparable for dino/torchvision; the
+harness's product is the apparatus (identical to the reference's,
+which assumed downloaded checkpoints) and the relative table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+DEFAULT_COMBOS = "grid:sift,grid:histogram,slic:sift,grid:dinov2,grid:torchvision"
+
+
+def run_one(seg: str, feat: str, args) -> dict:
+    import jax
+
+    from wild_visual_navigation_tpu.cfg import (
+        ExperimentParams,
+        FeatureExtractorNodeParams,
+        LearningNodeParams,
+    )
+    from wild_visual_navigation_tpu.offline.dataset import GraphTravDataset
+    from wild_visual_navigation_tpu.offline.trainer import OfflineTrainer, OfflineTrainerConfig
+    from wild_visual_navigation_tpu.runtime import WVNRuntime, run_replay, synthetic_sequence
+
+    size = args.size
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=size, network_input_image_width=size,
+        segmentation_type=seg, feature_type=feat, prediction_per_pixel=False,
+        image_callback_rate=1000.0, grid_cell_size=max(8, size // 8),
+        slic_num_components=32, dino_backbone="vit_small",
+        dino_patch_size=14 if feat == "dinov2" else 8,
+    )
+    ln = LearningNodeParams(
+        network_input_image_height=size, network_input_image_width=size,
+        image_graph_dist_thr=0.15, supervision_graph_dist_thr=0.05,
+        min_samples_for_training=4, supervision_callback_rate=1000.0,
+        robot_width=0.8, robot_length=0.8, traversability_radius=4.0,
+    )
+    exp = ExperimentParams()
+    exp.model.simple_mlp_cfg.hidden_sizes = [64, 32, 1]
+    t0 = time.time()
+    rt = WVNRuntime(fe_params=fe, ln_params=ln, exp_params=exp, key=jax.random.PRNGKey(0),
+                    buffer_capacity=64, reprojection_fanout=16)
+    seq = synthetic_sequence(duration=args.duration, frame_rate=5.0, state_rate=5.0,
+                             image_size=size, seed=0, obstacle_x=6.0)
+    report = run_replay(rt, seq, train_every_state=4)
+
+    export = os.path.join(args.out, "exports", f"{seg}_{feat}")
+    rt.estimator.save_graph(export)
+
+    train = GraphTravDataset.from_folder(export, "train", percentage=0.7, shuffle_seed=0)
+    val = GraphTravDataset.from_folder(export, "val", percentage=0.7, shuffle_seed=0)
+    D = train.features.shape[-1]
+    cfg = OfflineTrainerConfig(epochs=args.epochs)
+    cfg.model_cfg["simple_mlp_cfg"]["input_size"] = D
+    cfg.model_cfg["simple_mlp_cfg"]["hidden_sizes"] = [64, 32, 1]
+    trainer = OfflineTrainer(cfg)
+    res = trainer.fit(train, val)
+    return {
+        "segmentation": seg,
+        "feature": feat,
+        "feature_dim": D,
+        "nodes_exported": train.features.shape[0] + val.features.shape[0],
+        "online_train_steps": report.train_steps,
+        "val_auroc": round(float(res.get("val_auroc", float("nan"))), 4),
+        "val_acc": round(float(res.get("val_acc", float("nan"))), 4),
+        "train_loss": round(float(res.get("train_loss", float("nan"))), 4),
+        "wall_s": round(time.time() - t0, 1),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--combos", type=str, default=DEFAULT_COMBOS,
+                    help="comma list of segmentation:feature pairs")
+    ap.add_argument("--duration", type=float, default=10.0)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--out", type=str, default="results/ablations")
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    rows = []
+    for combo in args.combos.split(","):
+        seg, feat = combo.strip().split(":")
+        print(f"=== ablation {seg}:{feat} ===", flush=True)
+        try:
+            rows.append(run_one(seg, feat, args))
+        except Exception as e:  # a missing optional backbone must not kill the sweep
+            print(f"  FAILED: {e}", flush=True)
+            rows.append({"segmentation": seg, "feature": feat, "error": str(e)[:120]})
+        print(f"  {json.dumps(rows[-1])}", flush=True)
+
+    keys = ["segmentation", "feature", "feature_dim", "nodes_exported",
+            "online_train_steps", "val_auroc", "val_acc", "train_loss", "wall_s"]
+    with open(os.path.join(args.out, "ablation_results.csv"), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys + ["error"])
+        w.writeheader()
+        w.writerows(rows)
+    with open(os.path.join(args.out, "ablation_results.md"), "w") as f:
+        f.write("| " + " | ".join(keys) + " |\n")
+        f.write("|" + "---|" * len(keys) + "\n")
+        for r in rows:
+            f.write("| " + " | ".join(str(r.get(k, "—")) for k in keys) + " |\n")
+    print(f"\nwrote {args.out}/ablation_results.{{csv,md}} ({len(rows)} rows)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

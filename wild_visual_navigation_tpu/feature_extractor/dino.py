@@ -47,7 +47,11 @@ class DinoInterface:
         attention_impl: Optional[str] = None,
         params=None,
         dtype=jnp.bfloat16,
+        quant: Optional[str] = None,
     ):
+        """quant="int8": opt-in W8A8 backbone matmuls on the int8 MXU
+        path (models/quant.py; ~1.5% mean feature error, tolerance-
+        pinned in tests/test_models.py). fp checkpoints load as-is."""
         if attention_impl is None:
             attention_impl = _default_attention_impl()
         self._input_size = input_size
@@ -55,7 +59,7 @@ class DinoInterface:
         self._backbone_type = backbone_type
         self._patch_size = patch_size
         self.vit: VisionTransformer = make_vit(
-            backbone, backbone_type, patch_size, attention_impl=attention_impl, dtype=dtype
+            backbone, backbone_type, patch_size, attention_impl=attention_impl, dtype=dtype, quant=quant
         )
         if params is None:
             if key is None:

@@ -63,32 +63,57 @@ VIT_CONFIGS = {
 }
 
 
+class QuantDense(nn.Module):
+    """Drop-in nn.Dense with the matmul on the int8 MXU path
+    (models/quant.py). Same param names/shapes/init as nn.Dense, so
+    fp checkpoints load unchanged."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from .quant import int8_dense
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return int8_dense(x, kernel, bias).astype(self.dtype)
+
+
+def _dense(quant, features, dtype, name):
+    if quant == "int8":
+        return QuantDense(features, dtype=dtype, name=name)
+    return nn.Dense(features, dtype=dtype, name=name)
+
+
 class Attention(nn.Module):
     cfg: ViTConfig
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.bfloat16
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, N, D = x.shape
         H = self.cfg.num_heads
         Dh = D // H
-        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
+        qkv = _dense(self.quant, 3 * D, self.dtype, "qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, Dh).transpose(2, 0, 3, 1, 4)  # (3, B, H, N, Dh)
         q, k, v = qkv[0], qkv[1], qkv[2]
         scale = Dh**-0.5
         impl = self.attention_impl
         if impl == "auto":
             # Shape-aware choice (token count N is trace-static): the
-            # Pallas kernel's win is only demonstrated (interleaved
-            # value-fenced medians) in the ~single-tile regime around
-            # S~1k at batch>=8; outside it XLA wins — at S=3137 the
-            # kernel measured 14x slower, and at small batch the
-            # relay-side behavior is erratic (benchmarks/bench_sweep.py,
-            # exp_flash_inmodel.py). bf16 scores are the runner-up
-            # everywhere, so "auto" = flash in the proven pocket,
-            # xla_bf16 elsewhere.
-            impl = "flash" if (B * H >= 48 and 512 <= N <= 1536) else "xla_bf16"
+            # Pallas kernel wins at every batched ViT-zoo shape measured
+            # (interleaved value-fenced medians): S=1025 759 vs 646
+            # img/s, S=2117 in-model 36.0 vs 42.5 ms, S=3137 in-model
+            # 58.9 vs 72.4 ms (benchmarks/exp_flash_inmodel{,_long}.py,
+            # exp_flash_longseq.py; round-2's "14x slower at S=3137"
+            # did not reproduce — a contended-relay artifact). At small
+            # batch (B*H < 48) the relay-side behavior is erratic, so
+            # bf16-score XLA attention remains the fallback there and
+            # below the 512-token floor.
+            impl = "flash" if (B * H >= 48 and N >= 512) else "xla_bf16"
             if (B, H, N) not in _AUTO_RESOLVED_LOGGED:  # trace-time, once per shape
                 _AUTO_RESOLVED_LOGGED.add((B, H, N))
                 print(f"[vit] attention auto(B={B}, heads={H}, S={N}) -> {impl}")
@@ -106,19 +131,20 @@ class Attention(nn.Module):
         else:
             out = xla_attention(q, k, v, sm_scale=scale)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
-        return nn.Dense(D, dtype=self.dtype, name="proj")(out)
+        return _dense(self.quant, D, self.dtype, "proj")(out)
 
 
 class Mlp(nn.Module):
     cfg: ViTConfig
     dtype: jnp.dtype = jnp.bfloat16
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = int(self.cfg.embed_dim * self.cfg.mlp_ratio)
-        x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
+        x = _dense(self.quant, hidden, self.dtype, "fc1")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.cfg.embed_dim, dtype=self.dtype, name="fc2")(x)
+        return _dense(self.quant, self.cfg.embed_dim, self.dtype, "fc2")(x)
 
 
 class Block(nn.Module):
@@ -129,12 +155,13 @@ class Block(nn.Module):
     # LN read/write traffic on the residual stream (stats still
     # accumulate in fp32 inside flax). Enabled by the "perf" profile.
     ln_dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.ln_dtype, name="norm1")(x)
-        h = Attention(cfg, self.attention_impl, self.dtype, name="attn")(h)
+        h = Attention(cfg, self.attention_impl, self.dtype, self.quant, name="attn")(h)
         if cfg.layerscale_init is not None:
             gamma1 = self.param("ls1_gamma", nn.initializers.constant(cfg.layerscale_init), (cfg.embed_dim,))
             # cast gamma to the activation dtype: an fp32 multiply here
@@ -143,7 +170,7 @@ class Block(nn.Module):
             h = h * gamma1.astype(h.dtype)
         x = x + h
         h = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=self.ln_dtype, name="norm2")(x)
-        h = Mlp(cfg, self.dtype, name="mlp")(h)
+        h = Mlp(cfg, self.dtype, self.quant, name="mlp")(h)
         if cfg.layerscale_init is not None:
             gamma2 = self.param("ls2_gamma", nn.initializers.constant(cfg.layerscale_init), (cfg.embed_dim,))
             h = h * gamma2.astype(h.dtype)
@@ -203,6 +230,11 @@ class VisionTransformer(nn.Module):
     attention_impl: str = "xla"
     dtype: jnp.dtype = jnp.bfloat16
     ln_dtype: jnp.dtype = jnp.float32
+    # quant="int8": Dense matmuls (qkv/proj/fc1/fc2) on the int8 MXU
+    # path (models/quant.py) — opt-in, 2x MXU rate on v5e; patch embed
+    # and LayerNorms stay fp. Param pytree unchanged (checkpoints load
+    # as-is; weights quantize on the fly in-graph).
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, img: jnp.ndarray) -> dict:
@@ -241,7 +273,7 @@ class VisionTransformer(nn.Module):
         x = jnp.concatenate(tokens + [x], axis=1)
 
         for i in range(cfg.depth):
-            x = Block(cfg, self.attention_impl, self.dtype, self.ln_dtype, name=f"block_{i}")(x)
+            x = Block(cfg, self.attention_impl, self.dtype, self.ln_dtype, self.quant, name=f"block_{i}")(x)
 
         x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="norm")(x)
         n_prefix = 1 + cfg.num_register_tokens
@@ -295,6 +327,7 @@ def make_vit(
     attention_impl: str = "xla",
     dtype=jnp.bfloat16,
     ln_dtype=jnp.float32,
+    quant: Optional[str] = None,
 ) -> VisionTransformer:
     """Instantiate by the reference's (backbone, backbone_type,
     patch_size) triple (dino_interface.py:16-27).
@@ -308,4 +341,6 @@ def make_vit(
     key = f"{backbone}_vit_{size}_{patch_size}"
     if key not in VIT_CONFIGS:
         raise ValueError(f"Unknown ViT config {key}; have {sorted(VIT_CONFIGS)}")
-    return VisionTransformer(VIT_CONFIGS[key], attention_impl=attention_impl, dtype=dtype, ln_dtype=ln_dtype)
+    return VisionTransformer(
+        VIT_CONFIGS[key], attention_impl=attention_impl, dtype=dtype, ln_dtype=ln_dtype, quant=quant
+    )

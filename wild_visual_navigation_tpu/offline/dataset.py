@@ -26,7 +26,12 @@ class GraphTravDataset:
     sample_valid: np.ndarray  # (N, S)
 
     @classmethod
-    def from_folder(cls, folder: str, mode: str = "train", percentage: float = 0.8) -> "GraphTravDataset":
+    def from_folder(cls, folder: str, mode: str = "train", percentage: float = 0.8,
+                    shuffle_seed: int | None = None) -> "GraphTravDataset":
+        """shuffle_seed: seeded random node split instead of the
+        temporal (file-order) split — on short missions the temporal
+        tail is all obstacle-region nodes, leaving the val set
+        single-class (used by tools/ablation_sweep.py)."""
         files = sorted(glob.glob(os.path.join(folder, "graph_*.npz")))
         if not files:
             raise FileNotFoundError(f"no graph_*.npz exports under {folder}")
@@ -41,7 +46,11 @@ class GraphTravDataset:
         signal_valid = np.stack(sv)
         n = len(files)
         cut = int(n * percentage)
-        sl = slice(0, cut) if mode == "train" else slice(cut, n)
+        if shuffle_seed is not None:
+            perm = np.random.RandomState(shuffle_seed).permutation(n)
+            sl = perm[:cut] if mode == "train" else perm[cut:]
+        else:
+            sl = slice(0, cut) if mode == "train" else slice(cut, n)
         return cls(
             features=features[sl],
             signal=signal[sl],

@@ -7,13 +7,15 @@ self-attention over <=~3200 patch tokens is computed tile-by-tile with
 an online softmax so the (S, S) score matrix never round-trips HBM.
 
 Performance status (value-fenced interleaved medians on v5e — see
-bench.py for why naive timing lies in this environment): this kernel
-and XLA's fused attention are EQUAL within environment noise at the
-ViT zoo's shapes (107 vs 93 ms/batch for the full ViT-S/14 @448 B8
-forward; head_dim 64 wastes half of each 128-lane tile either way).
-XLA stays the default (simpler, differentiable); the kernel is opt-in
-(models/vit.py attention_impl="flash") and is the foundation for
-longer-sequence regimes where the (S, S) HBM roundtrip dominates.
+bench.py for why naive timing lies in this environment): with
+padding-tight blocks this kernel beats XLA attention at every batched
+ViT-zoo sequence length measured — S=1025 759 vs 646 img/s backbone-
+only, S=2117 (ViT-B @644) 36.0 vs 42.5 ms full-forward, S=3137
+(ViT-S/8 @448) 58.9 vs 72.4 ms full-forward
+(benchmarks/exp_flash_inmodel{,_long}.py, exp_flash_longseq.py). It is
+the TPU default for the frozen backbone via attention_impl="auto"
+(models/vit.py) for B*heads >= 48 and S >= 512; bf16-score XLA is the
+fallback at small batch. Forward-only (the backbone is frozen).
 
 Design (see the Pallas guide's flash-attention walkthrough):
   * grid = (batch*heads, S/block_q, S/block_k); the last axis is the

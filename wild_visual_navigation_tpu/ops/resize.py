@@ -105,6 +105,41 @@ def interpolate_bilinear(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
     return top * (1 - wy) + bot * wy
 
 
+def _bilinear_matrix(out_size: int, in_size: int) -> jnp.ndarray:
+    """(out, in) align_corners=True two-tap interpolation matrix —
+    each row holds the bilinear lerp weights of interpolate_bilinear
+    for one output coordinate."""
+    import numpy as np
+
+    M = np.zeros((out_size, in_size), np.float32)
+    if out_size == 1:
+        M[0, 0] = 1.0
+        return jnp.asarray(M)
+    f = np.arange(out_size, dtype=np.float64) * ((in_size - 1) / (out_size - 1))
+    i0 = np.clip(np.floor(f).astype(int), 0, in_size - 1)
+    i1 = np.clip(i0 + 1, 0, in_size - 1)
+    w = (f - i0).astype(np.float32)
+    rows = np.arange(out_size)
+    M[rows, i0] += 1.0 - w
+    M[rows, i1] += w
+    return jnp.asarray(M)
+
+
+def interpolate_bilinear_mxu(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
+    """interpolate_bilinear reformulated as two constant-matrix matmuls
+    (separable two-tap interpolation), so the big feature upsample of
+    the per-pixel scoring path runs on the MXU instead of as four
+    pixel gathers + VPU lerps — the gathers materialize 4x the output
+    in HBM, which dominated the pixelwise benchmark. Same math (each
+    output is the same two-tap lerp per axis; only fp summation order
+    differs — equivalence-tested to ~1e-6 in tests/test_models.py)."""
+    h, w = x.shape[-2], x.shape[-1]
+    Mh = _bilinear_matrix(new_h, h).astype(x.dtype)
+    Mw = _bilinear_matrix(new_w, w).astype(x.dtype)
+    out = jnp.einsum("oh,...hw->...ow", Mh, x)
+    return jnp.einsum("pw,...ow->...op", Mw, out)
+
+
 IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
 IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
 
