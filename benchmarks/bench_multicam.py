@@ -80,6 +80,7 @@ def product_main(args):
         fe_params=fe, ln_params=ln, exp_params=ExperimentParams(),
         buffer_capacity=64, reprojection_fanout=32,
         supervision_flush_every=args.flush_every,
+        supervision_resolve_every=args.resolve_every,
         score_at_patch_res=True,  # the TPU-native scoring path (see bench.py)
     )
 
@@ -122,13 +123,18 @@ def product_main(args):
     float(jnp.sum(res[0].traversability))  # fence
     assert rt.estimator.step > 0, "train never stepped during warm-in"
 
-    # chained cycles (throughput)
+    # pipelined cycles (throughput). No carry chain: the mission
+    # buffer and the params thread through EVERY cycle's programs
+    # (donated buffer, evolving optimizer state), so no two dispatches
+    # have identical inputs (relay memoization cannot hit) and the
+    # final state download is a true fence over all cycles — while
+    # cycles are free to overlap in the device queue exactly as the
+    # deployed runtime's would.
     t0 = time.time()
-    carry = jnp.zeros(())
     for i in range(args.iters):
-        res = one_cycle(100.0 + i, frames[i % len(frames)] + carry * 1e-12)
-        carry = res[0].traversability[0, 0]
-    float(carry)  # value fence
+        one_cycle(100.0 + i, frames[i % len(frames)])
+    leaf = jax.tree_util.tree_leaves(rt.estimator.params)[0]
+    float(jnp.sum(leaf)) + float(jnp.sum(rt.estimator.buffer.signal))  # value fence
     dt = (time.time() - t0) / args.iters
 
     # per-cycle latency distribution (each cycle fenced -> includes one
@@ -168,6 +174,8 @@ def main():
     ap.add_argument("--product", action="store_true",
                     help="drive WVNRuntime end-to-end instead of standalone stage replicas")
     ap.add_argument("--flush_every", type=int, default=1, help="(--product) supervision micro-batching")
+    ap.add_argument("--resolve_every", type=int, default=8,
+                    help="(--product) train calls between blocking supervision-flag readbacks")
     args = ap.parse_args()
     if args.product:
         return product_main(args)

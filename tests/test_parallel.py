@@ -215,3 +215,57 @@ def test_multiprocess_distributed_trainer():
                          env=env, capture_output=True, text=True, timeout=600)
     assert res.returncode == 0, f"rc={res.returncode}\nstdout:\n{res.stdout[-3000:]}\nstderr:\n{res.stderr[-2000:]}"
     assert "replicated state consistent" in res.stdout
+
+
+def test_runtime_distributed_trainer_hook():
+    """WVNRuntime.attach_distributed_trainer: learning_step joins the
+    collective global step and hot_swap syncs the replicated params
+    back (single-process here — the cross-process mechanics are
+    covered by tools/dryrun_multiprocess.py; the global mesh over one
+    process's 8 devices uses the identical code path)."""
+    from wild_visual_navigation_tpu.cfg import (
+        ExperimentParams,
+        FeatureExtractorNodeParams,
+        LearningNodeParams,
+    )
+    from wild_visual_navigation_tpu.runtime import WVNRuntime, run_replay, synthetic_sequence
+
+    size = 64
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=size, network_input_image_width=size,
+        segmentation_type="grid", feature_type="sift", prediction_per_pixel=False,
+        image_callback_rate=1000.0, grid_cell_size=8,
+    )
+    ln = LearningNodeParams(
+        network_input_image_height=size, network_input_image_width=size,
+        image_graph_dist_thr=0.15, supervision_graph_dist_thr=0.05,
+        min_samples_for_training=4, supervision_callback_rate=1000.0,
+        robot_width=0.8, robot_length=0.8, traversability_radius=4.0,
+        load_save_checkpoint_rate=5.0,
+    )
+    exp = ExperimentParams()
+    exp.model.simple_mlp_cfg.hidden_sizes = [32, 1]
+    rt = WVNRuntime(fe_params=fe, ln_params=ln, exp_params=exp,
+                    buffer_capacity=32, reprojection_fanout=8)
+
+    # ingest some data through the product loop (no training yet:
+    # train_every_state = TRAIN STEPS PER STATE SAMPLE, so 0 disables)
+    seq = synthetic_sequence(duration=4.0, frame_rate=5.0, state_rate=5.0,
+                             image_size=size, seed=0)
+    run_replay(rt, seq, train_every_state=0)
+
+    trainer = rt.attach_distributed_trainer()
+    before = jax.tree_util.tree_leaves(rt.estimator.params)[0].copy()
+    for _ in range(4):
+        st = rt.learning_step()
+    assert trainer.step_count == 4
+    assert st.step == 4
+    assert np.isfinite(st.loss_total)
+    # hot_swap ran at the checkpoint cadence (rate 5 of 1000 Hz ->
+    # swap_every 200: force one) and synced the replicated params back
+    rt.hot_swap()
+    after = jax.tree_util.tree_leaves(rt.estimator.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after)), "params did not train"
+    with rt._mailbox_lock:
+        mailbox_leaf = jax.tree_util.tree_leaves(rt._inference_params)[0]
+    np.testing.assert_allclose(np.asarray(mailbox_leaf), np.asarray(after))

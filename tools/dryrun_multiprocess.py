@@ -108,8 +108,47 @@ def child(rank: int, procs: int, devices: int, coord: str) -> None:
     assert np.isfinite(last["loss_total"]), last
     assert est.step == 5
 
+    # Phase 2 — starvation: a camera group with NO trainable data yet
+    # must still join the collective step (it contributes fully-masked
+    # rows) without deadlocking the fleet, and the replicated state
+    # must stay consistent.
+    est2 = TraversabilityEstimator(
+        model_cfg={"name": "SimpleMLP",
+                   "simple_mlp_cfg": {"input_size": D, "hidden_sizes": [64, 1], "reconstruction": True}},
+        num_segments=S, feature_dim=D, image_height=H, image_width=H,
+        buffer_capacity=16, reprojection_fanout=8, batch_size=4,
+        min_samples_for_training=2, seed=43,
+    )
+    if rank == 0:  # only rank 0 has data; other ranks are starved
+        for i in range(6):
+            pose = np.eye(4)
+            pose[0, 3] = i * 0.5
+            pose[2, 3] = 1.5
+            pose[:3, :3] = down
+            node = MissionNode(timestamp=float(i), pose_base_in_world=pose,
+                               pose_cam_in_base=np.eye(4), camera_name="cam0")
+            est2.add_mission_node(node, rng.randn(S, D).astype(np.float32), np.ones(S, bool),
+                                  (np.arange(H * H) % S).reshape(H, H).astype(np.int32), K)
+        for i in range(8):
+            pose = np.eye(4)
+            pose[0, 3] = i * 0.3
+            est2.add_supervision_node(SupervisionNode(
+                timestamp=float(i) + 0.1, pose_base_in_world=pose, pose_footprint_in_base=np.eye(4),
+                twist_in_base=np.array([0.5, 0, 0, 0, 0, 0.0]),
+                desired_twist_in_base=np.array([0.5, 0, 0, 0, 0, 0.0]),
+                length=0.8, width=0.4, height=0.2,
+                traversability=0.8, traversability_var=0.1, is_untraversable=False,
+            ))
+    trainer2 = DistributedTrainer(est2)
+    for _ in range(3):
+        last2 = trainer2.step()
+    trainer2.sync_to_estimator()
+    assert np.isfinite(last2["loss_total"]), last2
+    checksum2 = float(sum(np.abs(np.asarray(l)).sum() for l in jax.tree_util.tree_leaves(est2.params)))
+
     checksum = float(sum(np.abs(np.asarray(l)).sum() for l in jax.tree_util.tree_leaves(est.params)))
-    print(f"[rank {rank}] DISTRIBUTED OK loss={last['loss_total']:.6f} checksum={checksum:.8f}", flush=True)
+    print(f"[rank {rank}] DISTRIBUTED OK loss={last['loss_total']:.6f} "
+          f"checksum={checksum:.8f} starved_checksum={checksum2:.8f}", flush=True)
 
 
 def main() -> int:
@@ -152,7 +191,7 @@ def main() -> int:
         if rc != 0 or not ok_lines:
             print(f"--- rank {rank} FAILED (rc={rc}) ---\n{out[-3000:]}")
             return 1
-        checksums.append(ok_lines[0].split("checksum=")[1])
+        checksums.append(ok_lines[0].split("checksum=", 1)[1])  # both checksums
         print(ok_lines[0])
     if len(set(checksums)) != 1:
         print(f"checksum mismatch across ranks: {checksums}")

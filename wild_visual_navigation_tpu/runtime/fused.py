@@ -24,7 +24,13 @@ import jax.numpy as jnp
 
 from ..models.vit import dense_features
 from ..ops import segment_ops
-from ..ops.resize import center_crop, imagenet_normalize, interpolate_bilinear, resize_smaller_edge_nearest
+from ..ops.resize import (
+    center_crop,
+    imagenet_normalize,
+    interpolate_bilinear,
+    interpolate_bilinear_mxu,
+    resize_smaller_edge_nearest,
+)
 from ..ops.slic import slic
 from ..utils.confidence_generator import ConfidenceConfig, confidence_inference
 
@@ -91,16 +97,9 @@ def build_fused_frame_fn(
     H = W = input_size
     S = num_segments
 
-    def frame(vit_params, mlp_params, cg_state, img):
-        # uint8 camera frames upload 4x less data than float32; the
-        # [0,1] conversion happens on device (dtype is trace-static).
-        if img.dtype == jnp.uint8:
-            img = img.astype(jnp.float32) / 255.0
-        x = resize_smaller_edge_nearest(img, H)
-        x = center_crop(x, H)
-        xn = imagenet_normalize(x)
-        feat = dense_features(vit, vit_params, xn)  # (1, D, Hp, Wp)
-
+    def tail(mlp_params, cg_state, feat, x):
+        """Post-backbone per-image tail: segmentation + pooling +
+        scoring. feat: (1, D, Hp, Wp); x: (1, 3, H, W) resized [0,1]."""
         if segmentation_type == "slic":
             seg = slic(x[0], num_components=S, compactness=slic_compactness, iterations=slic_iterations)
         elif segmentation_type == "grid":
@@ -142,7 +141,10 @@ def build_fused_frame_fn(
                 centers=centers,
             )
 
-        dense = interpolate_bilinear(feat, H, W)[0]  # (D, H, W)
+        # matmul-formulated bilinear: the D-channel upsample is the
+        # per-pixel path's HBM hot spot; the MXU form is 3x faster at
+        # 448 px and equivalence-tested (ops/resize.py)
+        dense = interpolate_bilinear_mxu(feat, H, W)[0]  # (D, H, W)
         pooled, counts = segment_ops.segment_mean_pool(dense, seg, S)
 
         D = dense.shape[0]
@@ -168,6 +170,39 @@ def build_fused_frame_fn(
             centers=centers,
         )
 
+    def frame(vit_params, mlp_params, cg_state, img):
+        # uint8 camera frames upload 4x less data than float32; the
+        # [0,1] conversion happens on device (dtype is trace-static).
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        x = resize_smaller_edge_nearest(img, H)
+        x = center_crop(x, H)
+        xn = imagenet_normalize(x)
+        feat = dense_features(vit, vit_params, xn)  # (1, D, Hp, Wp)
+        return tail(mlp_params, cg_state, feat, x)
+
+    def frames_batch(vit_params, mlp_params, cg_state, imgs, mesh=None):
+        """Natively-batched multi-camera variant: the BACKBONE runs on
+        the full (B, ...) batch un-vmapped — so attention "auto"
+        resolves against the true batch (under vmap it saw B=1 and
+        fell back off the flash kernel) and the whole batch is one set
+        of big MXU matmuls; only the cheap per-image tail is vmapped.
+        dp-shards frames over the mesh when one is given."""
+        if imgs.dtype == jnp.uint8:
+            imgs = imgs.astype(jnp.float32) / 255.0
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            imgs = jax.lax.with_sharding_constraint(
+                imgs, NamedSharding(mesh, PartitionSpec("dp"))
+            )
+        x = resize_smaller_edge_nearest(imgs, H)
+        x = center_crop(x, H)
+        xn = imagenet_normalize(x)
+        feat = dense_features(vit, vit_params, xn)  # (B, D, Hp, Wp)
+        return jax.vmap(lambda f, xi: tail(mlp_params, cg_state, f[None], xi[None]))(feat, x)
+
+    frame.frames_batch = frames_batch
     return jax.jit(frame) if jit_compile else frame
 
 
@@ -226,7 +261,7 @@ def build_fused_stego_frame_fn(
         centers, center_valid = segment_ops.segment_centers(seg, S)
 
         if prediction_per_pixel:
-            dense = interpolate_bilinear(code_hw[None], H, W)[0]  # (90, H, W)
+            dense = interpolate_bilinear_mxu(code_hw[None], H, W)[0]  # (90, H, W)
             flat = dense.reshape(dense.shape[0], -1).T
             out_m = mlp.apply(mlp_params, flat)
             trav = out_m[:, 0].reshape(H, W)

@@ -45,18 +45,38 @@ from .scheduler import Scheduler
 from .status import SystemEvents
 
 
-@dataclass
 class InferenceResult:
     """Per-frame outputs. The maps stay ON DEVICE — device->host
     transfer of full float maps per frame is the latency killer (both
     through a remote-TPU tunnel and, at scale, over PCIe); consumers
     pull what they publish via `to_numpy` (optionally uint8-quantized
-    and strided) at their own rate."""
+    and strided) at their own rate.
 
-    traversability: "jnp.ndarray"  # (H, W) in [0, 1], device-resident
-    confidence: Optional["jnp.ndarray"]  # (H, W) in [0, 1]
-    camera: str
-    stamp: float
+    Batched results are LAZY rows: `image_batch_callback` hands each
+    camera's result a reference to the whole-batch arrays, and the
+    per-camera slice (a device dispatch — a full relay round trip in
+    tunneled deployments) only happens when `.traversability` /
+    `.confidence` is first read."""
+
+    def __init__(self, traversability=None, confidence=None, camera: str = "",
+                 stamp: float = 0.0, batch=None):
+        self._trav = traversability
+        self._conf = confidence
+        self.camera = camera
+        self.stamp = stamp
+        self._batch = batch  # (trav_batch, conf_batch, row) or None
+
+    @property
+    def traversability(self):
+        if self._trav is None and self._batch is not None:
+            self._trav = self._batch[0][self._batch[2]]
+        return self._trav
+
+    @property
+    def confidence(self):
+        if self._conf is None and self._batch is not None and self._batch[1] is not None:
+            self._conf = self._batch[1][self._batch[2]]
+        return self._conf
 
     def to_numpy(self, quantize_uint8: bool = False, stride: int = 1):
         """Download the maps; uint8 quantization + striding cut the
@@ -102,6 +122,7 @@ class WVNRuntime:
         gridmap_size: int = 0,
         gridmap_resolution: float = 0.1,
         supervision_flush_every: int = 1,
+        supervision_resolve_every: int = 1,
         swallow_callback_errors: bool = False,
         score_at_patch_res: bool = False,
         mesh=None,
@@ -183,6 +204,7 @@ class WVNRuntime:
             reprojection_fanout=reprojection_fanout,
             vis_node_index=self.ln_params.vis_node_index,
             supervision_flush_every=supervision_flush_every,
+            supervision_resolve_every=supervision_resolve_every,
             mesh=mesh,
         )
         self.supervision_generator = SupervisionGenerator(
@@ -384,14 +406,23 @@ class WVNRuntime:
         loop previously paid B+1 dispatches — VERDICT r2 #3)."""
         from ..traversability.mission_buffer import buffer_insert_batch_impl
 
-        def _frames_batch_body(backbone_params, mlp_params, cg_state, imgs):
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
+        native_batch = getattr(frame_raw, "frames_batch", None)
+        if native_batch is not None:
+            # dino mode ships a natively-batched program: the backbone
+            # runs un-vmapped on the full batch (attention "auto" sees
+            # the true batch size and keeps the flash kernel; under
+            # vmap it saw B=1 and fell back to xla_bf16)
+            def _frames_batch_body(backbone_params, mlp_params, cg_state, imgs):
+                return native_batch(backbone_params, mlp_params, cg_state, imgs, mesh=self.mesh)
+        else:
+            def _frames_batch_body(backbone_params, mlp_params, cg_state, imgs):
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
 
-                imgs = jax.lax.with_sharding_constraint(
-                    imgs, NamedSharding(self.mesh, PartitionSpec("dp"))
-                )
-            return jax.vmap(lambda im: frame_raw(backbone_params, mlp_params, cg_state, im[None]))(imgs)
+                    imgs = jax.lax.with_sharding_constraint(
+                        imgs, NamedSharding(self.mesh, PartitionSpec("dp"))
+                    )
+                return jax.vmap(lambda im: frame_raw(backbone_params, mlp_params, cg_state, im[None]))(imgs)
 
         @partial(jax.jit, donate_argnums=(4,))
         def _frames_batch_and_insert(backbone_params, mlp_params, cg_state, imgs, buf, slots, Ks, poses):
@@ -448,11 +479,27 @@ class WVNRuntime:
         self._predict_segments = _predict_segments
 
     # -------------------------------------------------------- inference
+    def _scale_K_cached(self, Ks: np.ndarray, orig_h: int, orig_w: int):
+        """Camera intrinsics are static per mission; rescaling them is
+        one device dispatch per frame otherwise — a full relay round
+        trip in tunneled deployments. Cached by value."""
+        Kn = np.ascontiguousarray(Ks)
+        key = (Kn.tobytes(), Kn.shape, orig_h, orig_w)
+        cache = getattr(self, "_K_cache", None)
+        if cache is None:
+            cache = self._K_cache = {}
+        hit = cache.get(key)
+        if hit is None:
+            if len(cache) > 64:
+                cache.clear()
+            hit = cache[key] = scale_intrinsics(
+                jnp.asarray(Kn), orig_h, orig_w, new_h=self._H,
+                new_w=None if self._W == self._H else self._W,
+            )
+        return hit
+
     def _scale_K(self, K, orig_h: int, orig_w: int):
-        return scale_intrinsics(
-            jnp.asarray(K)[None], orig_h, orig_w, new_h=self._H,
-            new_w=None if self._W == self._H else self._W,
-        )[0]
+        return self._scale_K_cached(np.asarray(K)[None], orig_h, orig_w)[0]
 
     def _make_mission_node(self, stamp, camera, pose_base_in_world, pose_cam_in_base) -> MissionNode:
         return MissionNode(
@@ -642,10 +689,7 @@ class WVNRuntime:
         with self._mailbox_lock:
             params, cg = self._inference_params, self._inference_cg
 
-        K_scaled = scale_intrinsics(
-            jnp.asarray(Ks), orig_h, orig_w, new_h=self._H,
-            new_w=None if self._W == self._H else self._W,
-        )
+        K_scaled = self._scale_K_cached(np.asarray(Ks), orig_h, orig_w)
         nodes = [
             self._make_mission_node(stamps[i], cameras[i], poses_base_in_world[i], poses_cam_in_base[i])
             for i in range(B)
@@ -675,10 +719,9 @@ class WVNRuntime:
                 self._update_gridmap(fr.traversability[i], fr.confidence[i], K_scaled[i],
                                      node.pose_cam_in_world, node.pose_base_in_world)
             results.append(InferenceResult(
-                traversability=fr.traversability[i],
-                confidence=fr.confidence[i],
                 camera=node.camera_name,
                 stamp=float(stamps[i]),
+                batch=(fr.traversability, fr.confidence, i),
             ))
         return results
 
@@ -737,6 +780,20 @@ class WVNRuntime:
         return self.estimator.add_supervision_node(node)
 
     # ---------------------------------------------------------- learning
+    def attach_distributed_trainer(self, trainer=None):
+        """Multi-host mode (parallel/distributed.py): learning_step
+        joins the COLLECTIVE global train step instead of stepping the
+        local estimator — every process's runtime must call
+        learning_step at the same cadence. Pass an existing
+        DistributedTrainer or None to build one over the global mesh.
+        Ingestion (camera callbacks, supervision) stays process-local."""
+        if trainer is None:
+            from ..parallel.distributed import DistributedTrainer
+
+            trainer = DistributedTrainer(self.estimator)
+        self._dist_trainer = trainer
+        return trainer
+
     def learning_step(self) -> SystemState:
         """One tick of the learning loop (reference
         learning_thread_loop, wvn_learning_node.py:344-408): train step,
@@ -749,7 +806,12 @@ class WVNRuntime:
         log_every = max(1, int(self.ln_params.learning_thread_rate / max(self.ln_params.logging_thread_rate, 1e-9)))
         convert = (self.estimator.step % log_every) == 0
         try:
-            res = self.estimator.train(convert_losses=convert)
+            if getattr(self, "_dist_trainer", None) is not None:
+                res = self._dist_trainer.step()
+                res.setdefault("mission_graph_num_valid_node",
+                               self.estimator._mission_graph.get_num_valid_nodes())
+            else:
+                res = self.estimator.train(convert_losses=convert)
         except Exception as exc:
             self.events.record_error("learning_step_state", exc)
             if not self._swallow_errors:
@@ -759,7 +821,12 @@ class WVNRuntime:
             self._finish_deferred_shutdown()
         st = self.system_state
         st.mission_graph_num_valid_node = res.get("mission_graph_num_valid_node", 0)
-        st.step = self.estimator.step
+        cur_step = (
+            self._dist_trainer.step_count
+            if getattr(self, "_dist_trainer", None) is not None
+            else self.estimator.step
+        )
+        st.step = cur_step
         if convert or "loss_total" not in res:
             st.loss_total = float(res.get("loss_total", -1.0))
             st.loss_trav = float(res.get("loss_trav", -1.0))
@@ -767,9 +834,9 @@ class WVNRuntime:
         st.pause_learning = self.estimator.pause_learning
 
         swap_every = max(1, int(self.ln_params.learning_thread_rate / self.ln_params.load_save_checkpoint_rate))
-        if self.estimator.step != self._last_swap_step and self.estimator.step % swap_every == 0:
+        if cur_step != self._last_swap_step and cur_step % swap_every == 0:
             self.hot_swap()
-            self._last_swap_step = self.estimator.step
+            self._last_swap_step = cur_step
         return st
 
     def _update_gridmap(self, trav, conf, K_scaled, pose_cam_in_world, pose_base_in_world):
@@ -801,7 +868,11 @@ class WVNRuntime:
 
     def hot_swap(self):
         """Publish the learner's params to the inference mailbox —
-        the reference's checkpoint-file handoff, without the file."""
+        the reference's checkpoint-file handoff, without the file. In
+        distributed mode the replicated global params are synced into
+        the local estimator first."""
+        if getattr(self, "_dist_trainer", None) is not None:
+            self._dist_trainer.sync_to_estimator()
         with self._mailbox_lock:
             self._inference_params = self.estimator.params
             self._inference_cg = self.estimator.confidence_state

@@ -97,6 +97,7 @@ class TraversabilityEstimator:
         log_confidence_folder: Optional[str] = None,
         log_every: int = 20,
         supervision_flush_every: int = 1,
+        supervision_resolve_every: int = 1,
         graph_max_elements_factor: int = 4,
         mesh=None,
     ):
@@ -191,6 +192,15 @@ class TraversabilityEstimator:
         # exactly while cutting dispatch count)
         self._flush_every = max(1, supervision_flush_every)
         self._pending_footprints: list = []
+        # resolve supervision-count flags (a BLOCKING D2H readback that
+        # fences the whole device queue — frames program included) only
+        # every N train calls; in between, sampling uses slightly stale
+        # validity flags, which is semantically fine for an online
+        # system (the reference's validity propagates asynchronously
+        # through its learning thread too). Bootstraps unconditionally
+        # while too few nodes are known-valid.
+        self._resolve_every = max(1, supervision_resolve_every)
+        self._train_calls = 0
 
         self._build_jitted()
 
@@ -595,7 +605,12 @@ class TraversabilityEstimator:
         on a device->host readback."""
         if self._pause_training:
             return {}
-        self._resolve_pending_supervision()
+        self._train_calls += 1
+        if (
+            self._train_calls % self._resolve_every == 0
+            or self._mission_graph.get_num_valid_nodes() <= self._min_samples_for_training
+        ):
+            self._resolve_pending_supervision()
         num_valid = self._mission_graph.get_num_valid_nodes()
         return_dict = {"mission_graph_num_valid_node": num_valid}
         if num_valid > self._min_samples_for_training:
