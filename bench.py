@@ -90,10 +90,9 @@ def main():
 
     from wild_visual_navigation_tpu.models import get_model
     from wild_visual_navigation_tpu.models.vit import dense_features, fold_imagenet_normalize, make_vit
-    from wild_visual_navigation_tpu.ops.resize import interpolate_bilinear_mxu
+    from wild_visual_navigation_tpu.ops.pixelwise import pixelwise_score
     from wild_visual_navigation_tpu.utils.confidence_generator import (
         ConfidenceConfig,
-        confidence_inference,
         confidence_init,
     )
 
@@ -110,22 +109,16 @@ def main():
     cg_cfg = ConfidenceConfig()
     cg_state = confidence_init()
 
-    # ---------------- pixelwise: the reference's per-pixel order ----------------
-    PX_BATCH, PX_SCAN, PX_ITERS = 4, 2, 10
+    # ---------------- pixelwise: the reference's per-pixel math ----------------
+    # Restructured exactly (ops/pixelwise.py::pixelwise_score: Dense_0
+    # before the upsample by linearity, MXU-matmul bilinear, bf16 rows
+    # with fp32 MSE accumulation — equivalence-tested): the ladder at
+    # B4 was gather 84 -> MXU bilinear 248 -> restructured 273 img/s.
+    PX_BATCH, PX_SCAN, PX_ITERS = 8, 2, 8
 
     def one_batch_pixelwise(vp, mp, imgs):
         feat = dense_features(vit, vp, imgs)  # (B, D, Hp, Wp)
-        # matmul-formulated bilinear (ops/resize.py::interpolate_bilinear_mxu,
-        # equivalence-tested): the gather formulation materializes 4x
-        # the output and starves on HBM
-        dense = interpolate_bilinear_mxu(feat.astype(jnp.bfloat16), SIZE, SIZE)  # (B, D, H, W)
-        B = dense.shape[0]
-        flat = dense.transpose(0, 2, 3, 1).reshape(-1, D)
-        out = mlp.apply(mp, flat)
-        trav = out[:, 0].reshape(B, SIZE, SIZE)
-        reco = jnp.mean((out[:, 1:] - flat.astype(jnp.float32)) ** 2, axis=-1)
-        conf = confidence_inference(cg_cfg, cg_state, reco).reshape(B, SIZE, SIZE)
-        return trav, conf
+        return pixelwise_score(mp, feat, SIZE, SIZE, cg_cfg, cg_state, optimized=True)
 
     @jax.jit
     def pipeline_pixelwise(vp, mp, imgs):  # (SCAN, B, 3, H, W)

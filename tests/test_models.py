@@ -194,3 +194,29 @@ def test_int8_backbone_tolerance():
     # param pytree is UNCHANGED (checkpoints load as-is)
     p8 = vit8.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, H, H)))
     assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(p8)
+
+
+def test_pixelwise_score_optimized_matches_reference_order():
+    """ops/pixelwise.py: the restructured per-pixel scorer (Dense_0
+    before upsample by linearity, bf16 rows, fused MSE) must match the
+    literal reference order to the bf16 floor — and in fp32-dominant
+    conditions, tightly."""
+    from wild_visual_navigation_tpu.models import get_model
+    from wild_visual_navigation_tpu.ops.pixelwise import pixelwise_score
+    from wild_visual_navigation_tpu.utils.confidence_generator import (
+        ConfidenceConfig,
+        confidence_init,
+    )
+
+    D, Hp, Wp, out = 32, 8, 8, 56
+    mlp = get_model({
+        "name": "SimpleMLP",
+        "simple_mlp_cfg": {"input_size": D, "hidden_sizes": [64, 16, 1], "reconstruction": True},
+    })
+    params = mlp.init(jax.random.PRNGKey(0), jnp.zeros((1, D)))
+    feat = jax.random.normal(jax.random.PRNGKey(1), (2, D, Hp, Wp))
+    cfg, st = ConfidenceConfig(), confidence_init()
+    t0, c0 = pixelwise_score(params, feat, out, out, cfg, st, optimized=False, mlp=mlp)
+    t1, c1 = pixelwise_score(params, feat, out, out, cfg, st, optimized=True)
+    assert float(jnp.max(jnp.abs(t0 - t1))) < 0.01  # bf16 rows floor
+    assert float(jnp.max(jnp.abs(c0 - c1))) < 0.02

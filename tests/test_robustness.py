@@ -109,3 +109,55 @@ def test_rectangular_config_uses_composed_path():
     assert res is not None
     assert res.traversability.shape == (112, 168)
     assert bool(jnp.all(jnp.isfinite(res.traversability)))
+
+
+def test_image_batch_callback_matches_sequential():
+    """The single-dispatch batched path (natively-batched backbone +
+    B-row buffer scatter) must insert the same mission-buffer payload
+    and return the same maps as B sequential image_callback calls."""
+    import jax
+
+    from wild_visual_navigation_tpu.cfg import (
+        ExperimentParams,
+        FeatureExtractorNodeParams,
+        LearningNodeParams,
+    )
+    from wild_visual_navigation_tpu.runtime import WVNRuntime
+
+    size = 112
+    cams = {f"cam{i}": {"use_for_training": True} for i in range(2)}
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=size, network_input_image_width=size,
+        segmentation_type="grid", feature_type="dinov2", dino_backbone="vit_small",
+        dino_patch_size=14, grid_cell_size=16, prediction_per_pixel=True,
+        image_callback_rate=1e6, camera_topics=cams,
+    )
+    ln = LearningNodeParams(network_input_image_height=size, network_input_image_width=size,
+                            image_graph_dist_thr=0.05, camera_topics=cams)
+
+    def build():
+        return WVNRuntime(fe_params=fe, ln_params=ln, exp_params=ExperimentParams(),
+                          key=jax.random.PRNGKey(0), buffer_capacity=8, reprojection_fanout=4)
+
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(2, 3, size, size).astype(np.float32)
+    K = np.tile(np.array([[100.0, 0, size / 2], [0, 100.0, size / 2], [0, 0, 1]]), (2, 1, 1))
+    pb = np.tile(np.eye(4), (2, 1, 1))
+    pb[1, 0, 3] = 1.0  # past the distance gate
+    pc = np.tile(np.eye(4), (2, 1, 1))
+
+    rt_b = build()
+    res_b = rt_b.image_batch_callback(imgs, [1.0, 1.001], list(cams), K, size, size, pb, pc)
+
+    rt_s = build()
+    res_s = []
+    for i, cam in enumerate(cams):
+        res_s.append(rt_s.image_callback(imgs[i], 1.0 + 0.001 * i, cam, K[i], size, size, pb[i], pc[i]))
+
+    for rb, rs in zip(res_b, res_s):
+        np.testing.assert_allclose(np.asarray(rb.traversability), np.asarray(rs.traversability),
+                                   atol=1e-5)
+    for field in ("features", "feat_valid", "seg", "K", "pose_cam_in_world", "valid"):
+        a = np.asarray(getattr(rt_b.estimator.buffer, field))
+        b = np.asarray(getattr(rt_s.estimator.buffer, field))
+        np.testing.assert_allclose(a, b, atol=1e-4, err_msg=field)
