@@ -37,6 +37,12 @@ def _dense_layers(mlp_params: dict):
     return [(p[k]["kernel"], p[k]["bias"]) for k in names]
 
 
+def supports_optimized(mlp) -> bool:
+    """The restructured scorer assumes the SimpleMLP layout (anonymous
+    Dense_i stack, [trav || reconstruction] output)."""
+    return type(mlp).__name__ == "SimpleMLP" and getattr(mlp, "reconstruction", False)
+
+
 def pixelwise_score(
     mlp_params,
     feat: jnp.ndarray,
@@ -46,12 +52,17 @@ def pixelwise_score(
     cg_state,
     optimized: bool = True,
     mlp=None,
+    return_dense: bool = False,
 ):
     """feat: (B, D, Hp, Wp) patch features -> (trav, conf), each
     (B, out_h, out_w). SimpleMLP(reconstruction=True) params expected.
 
     optimized=False runs the literal reference order (requires `mlp`,
-    the flax module, for `apply`) — the equivalence baseline."""
+    the flax module, for `apply`) — the equivalence baseline.
+    return_dense=True additionally returns the upsampled D-channel
+    feature map (B, D, out_h, out_w) — bf16 in the optimized path — so
+    callers that also pool per-segment features (runtime/fused.py)
+    reuse it instead of upsampling twice."""
     B, D = feat.shape[0], feat.shape[1]
     if not optimized:
         assert mlp is not None
@@ -61,7 +72,7 @@ def pixelwise_score(
         trav = out[:, 0].reshape(B, out_h, out_w)
         reco = jnp.mean((out[:, 1:] - flat.astype(jnp.float32)) ** 2, axis=-1)
         conf = confidence_inference(cg_cfg, cg_state, reco).reshape(B, out_h, out_w)
-        return trav, conf
+        return (trav, conf, dense) if return_dense else (trav, conf)
 
     layers = _dense_layers(mlp_params)
     (W0, b0), mid, (Wl, bl) = layers[0], layers[1:-1], layers[-1]
@@ -79,4 +90,4 @@ def pixelwise_score(
     diff = out[:, 1:] - xrows
     reco = jnp.einsum("nd,nd->n", diff, diff, preferred_element_type=jnp.float32) / D
     conf = confidence_inference(cg_cfg, cg_state, reco).reshape(B, out_h, out_w)
-    return trav, conf
+    return (trav, conf, xup) if return_dense else (trav, conf)
