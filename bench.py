@@ -110,10 +110,12 @@ def main():
     cg_state = confidence_init()
 
     # ---------------- pixelwise: the reference's per-pixel math ----------------
-    # Restructured exactly (ops/pixelwise.py::pixelwise_score: Dense_0
-    # before the upsample by linearity, MXU-matmul bilinear, bf16 rows
-    # with fp32 MSE accumulation — equivalence-tested): the ladder at
-    # B4 was gather 84 -> MXU bilinear 248 -> restructured 273 img/s.
+    # Restructured exactly (ops/pixelwise.py::pixelwise_score, Gram
+    # method: Dense_0 before the upsample by linearity, MXU-matmul
+    # bilinear, reconstruction MSE expanded through the last layer's
+    # K×K Gram matrix so no D-channel pixel-resolution tensor exists —
+    # equivalence-tested): ladder 84 (gather) -> 249 (MXU bilinear)
+    # -> 310 (restructured) -> 321 img/s (gram).
     PX_BATCH, PX_SCAN, PX_ITERS = 8, 2, 8
 
     def one_batch_pixelwise(vp, mp, imgs):

@@ -28,6 +28,22 @@ def test_segment_mean_pool_ignores_unassigned():
     np.testing.assert_allclose(np.asarray(counts), [1, 1])
 
 
+def test_segment_mean_pool_upsampled_matches_dense_pooling():
+    """Pooling patch features with adjoint-downsampled masks must equal
+    pooling the materialized bilinear-upsampled map (linearity)."""
+    from wild_visual_navigation_tpu.ops.resize import interpolate_bilinear_mxu
+
+    rng = np.random.RandomState(0)
+    D, Hp, Wp, H, W, S = 7, 5, 6, 40, 48, 9
+    feat = jnp.asarray(rng.randn(D, Hp, Wp).astype(np.float32))
+    seg = jnp.asarray(rng.randint(-1, S, size=(H, W)).astype(np.int32))
+    dense = interpolate_bilinear_mxu(feat[None], H, W)[0]
+    ref, ref_counts = segment_ops.segment_mean_pool(dense, seg, num_segments=S)
+    out, counts = segment_ops.segment_mean_pool_upsampled(feat, seg, S, H, W)
+    np.testing.assert_allclose(np.asarray(counts), np.asarray(ref_counts))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
 def test_segment_masked_mean():
     seg = jnp.asarray([[0, 0], [1, 1]], dtype=jnp.int32)
     values = jnp.asarray([[0.5, 0.7], [0.9, 0.1]])

@@ -19,7 +19,8 @@ tests/test_models.py):
     448 px) never materializes.
 
 Measured on v5e-1 (benchmarks/exp_pixelwise_variants.py @448, B4):
-naive gather form 84 img/s -> MXU bilinear 248 -> this 273.
+naive gather form 84 img/s -> MXU bilinear 248 -> restructured 273.
+bench.py (@448, B8): restructured 310 -> gram 321 img/s.
 """
 
 from __future__ import annotations
@@ -28,7 +29,13 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.confidence_generator import ConfidenceConfig, confidence_inference
-from .resize import interpolate_bilinear_mxu
+from .resize import (
+    interpolate_bilinear_mxu,
+    interpolate_bilinear_mxu_precise,
+    interpolate_norm_sq_mxu,
+)
+
+_HIGH = jax.lax.Precision.HIGHEST
 
 
 def _dense_layers(mlp_params: dict):
@@ -39,8 +46,12 @@ def _dense_layers(mlp_params: dict):
 
 def supports_optimized(mlp) -> bool:
     """The restructured scorer assumes the SimpleMLP layout (anonymous
-    Dense_i stack, [trav || reconstruction] output)."""
-    return type(mlp).__name__ == "SimpleMLP" and getattr(mlp, "reconstruction", False)
+    Dense_i stack, [1-channel sigmoid trav || reconstruction] output)."""
+    return (
+        type(mlp).__name__ == "SimpleMLP"
+        and getattr(mlp, "reconstruction", False)
+        and getattr(mlp, "nr_sigmoid_layers", None) == 1
+    )
 
 
 def pixelwise_score(
@@ -53,18 +64,35 @@ def pixelwise_score(
     optimized: bool = True,
     mlp=None,
     return_dense: bool = False,
+    method: str | None = None,
 ):
     """feat: (B, D, Hp, Wp) patch features -> (trav, conf), each
     (B, out_h, out_w). SimpleMLP(reconstruction=True) params expected.
 
-    optimized=False runs the literal reference order (requires `mlp`,
-    the flax module, for `apply`) — the equivalence baseline.
+    method selects the scoring order (all the same math):
+      * "reference" (= optimized=False; requires `mlp` for `apply`) —
+        the literal reference order, the equivalence baseline;
+      * "restructured" — Dense_0 at patch res by linearity, MXU
+        bilinear, bf16 rows, fused MSE (the r3 path, 84 -> 273 img/s);
+      * "gram" (default) — additionally never materializes the
+        D-channel pixel-resolution tensors: the reconstruction MSE
+        ||r - x_up||² is expanded as rows·(M rows + 2v - 2z) + c - 2s
+        + ||x_up||², where M = Wr Wrᵀ (K×K), z = upsample(Wr feat)
+        (K channels, by linearity), s = upsample(br·feat), and
+        ||x_up||² comes from interpolate_norm_sq_mxu's Gram maps.
+        Cancelling terms run in fp32 at HIGHEST matmul precision, so
+        accuracy matches "restructured" (tests/test_models.py).
+
     return_dense=True additionally returns the upsampled D-channel
-    feature map (B, D, out_h, out_w) — bf16 in the optimized path — so
-    callers that also pool per-segment features (runtime/fused.py)
-    reuse it instead of upsampling twice."""
+    feature map (B, D, out_h, out_w) — bf16 in the optimized paths —
+    for callers that need the dense features themselves. The fused
+    production path does NOT use it: per-segment pooling of the
+    upsampled features is computed at patch resolution too
+    (ops/segment_ops.py::segment_mean_pool_upsampled)."""
+    if method is None:
+        method = "gram" if optimized else "reference"
     B, D = feat.shape[0], feat.shape[1]
-    if not optimized:
+    if method == "reference":
         assert mlp is not None
         dense = interpolate_bilinear_mxu(feat, out_h, out_w)
         flat = dense.transpose(0, 2, 3, 1).reshape(-1, D)
@@ -80,14 +108,50 @@ def pixelwise_score(
     h = jnp.einsum("bdhw,dk->bkhw", feat.astype(jnp.bfloat16), W0.astype(jnp.bfloat16))
     h = h + b0.astype(jnp.bfloat16)[None, :, None, None]
     h = jax.nn.relu(interpolate_bilinear_mxu(h, out_h, out_w))
-    xup = interpolate_bilinear_mxu(feat.astype(jnp.bfloat16), out_h, out_w)
     rows = h.transpose(0, 2, 3, 1).reshape(-1, h.shape[1])
-    xrows = xup.transpose(0, 2, 3, 1).reshape(-1, D)
     for W, b in mid:
         rows = jax.nn.relu(rows @ W.astype(jnp.bfloat16) + b.astype(jnp.bfloat16))
-    out = rows @ Wl.astype(jnp.bfloat16) + bl.astype(jnp.bfloat16)  # (N, 1 + D) bf16
-    trav = jax.nn.sigmoid(out[:, 0].astype(jnp.float32)).reshape(B, out_h, out_w)
-    diff = out[:, 1:] - xrows
-    reco = jnp.einsum("nd,nd->n", diff, diff, preferred_element_type=jnp.float32) / D
+
+    if method == "restructured":
+        xup = interpolate_bilinear_mxu(feat.astype(jnp.bfloat16), out_h, out_w)
+        xrows = xup.transpose(0, 2, 3, 1).reshape(-1, D)
+        out = rows @ Wl.astype(jnp.bfloat16) + bl.astype(jnp.bfloat16)  # (N, 1 + D)
+        trav = jax.nn.sigmoid(out[:, 0].astype(jnp.float32)).reshape(B, out_h, out_w)
+        diff = out[:, 1:] - xrows
+        reco = jnp.einsum("nd,nd->n", diff, diff, preferred_element_type=jnp.float32) / D
+        conf = confidence_inference(cg_cfg, cg_state, reco).reshape(B, out_h, out_w)
+        return (trav, conf, xup) if return_dense else (trav, conf)
+
+    assert method == "gram", method
+    K = rows.shape[1]
+    rows32 = rows.astype(jnp.float32)  # (N, K)
+    Wl32, bl32 = Wl.astype(jnp.float32), bl.astype(jnp.float32)
+    trav_logit = rows32 @ Wl32[:, 0] + bl32[0]
+    trav = jax.nn.sigmoid(trav_logit).reshape(B, out_h, out_w)
+    Wr, br = Wl32[:, 1:], bl32[1:]  # (K, D), (D,)
+    # ||r - x||² = rowsᵀ M rows + 2 rows·(v - z) + c - 2 s + ||x||²,
+    # r = Wrᵀ rows + br, x = upsample(feat). All pixel-res tensors are
+    # K-channel (K=32) instead of D-channel (D=384).
+    M = jnp.einsum("kd,ld->kl", Wr, Wr, precision=_HIGH)
+    v = Wr @ br
+    c = br @ br
+    feat32 = feat.astype(jnp.float32)
+    zp = jnp.einsum("bdhw,kd->bkhw", feat32, Wr, precision=_HIGH)  # (B, K, Hp, Wp)
+    sp = jnp.einsum("bdhw,d->bhw", feat32, br)
+    z = interpolate_bilinear_mxu_precise(zp, out_h, out_w)
+    s = interpolate_bilinear_mxu_precise(sp[:, None], out_h, out_w)[:, 0]
+    zrows = z.transpose(0, 2, 3, 1).reshape(-1, K)
+    rM = jnp.einsum("nk,kl->nl", rows32, M, precision=_HIGH)
+    lin = rM + 2.0 * (v[None, :] - zrows)
+    reco = (
+        jnp.einsum("nk,nk->n", rows32, lin)
+        + c
+        - 2.0 * s.reshape(-1)
+        + interpolate_norm_sq_mxu(feat32, out_h, out_w).reshape(-1)
+    ) / D
+    reco = jnp.maximum(reco, 0.0)  # exact value is a squared norm
     conf = confidence_inference(cg_cfg, cg_state, reco).reshape(B, out_h, out_w)
-    return (trav, conf, xup) if return_dense else (trav, conf)
+    if return_dense:
+        xup = interpolate_bilinear_mxu(feat.astype(jnp.bfloat16), out_h, out_w)
+        return trav, conf, xup
+    return trav, conf

@@ -125,19 +125,87 @@ def _bilinear_matrix(out_size: int, in_size: int) -> jnp.ndarray:
     return jnp.asarray(M)
 
 
-def interpolate_bilinear_mxu(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
+def interpolate_bilinear_mxu(
+    x: jnp.ndarray, new_h: int, new_w: int, precision=None
+) -> jnp.ndarray:
     """interpolate_bilinear reformulated as two constant-matrix matmuls
     (separable two-tap interpolation), so the big feature upsample of
     the per-pixel scoring path runs on the MXU instead of as four
     pixel gathers + VPU lerps — the gathers materialize 4x the output
     in HBM, which dominated the pixelwise benchmark. Same math (each
     output is the same two-tap lerp per axis; only fp summation order
-    differs — equivalence-tested to ~1e-6 in tests/test_models.py)."""
+    differs — equivalence-tested to ~1e-6 in tests/test_models.py).
+
+    `precision` is forwarded to the einsums — the Gram scoring path
+    passes HIGHEST because its fp32 upsamples feed cancelling sums
+    (TPU fp32 matmuls otherwise multiply in bf16)."""
     h, w = x.shape[-2], x.shape[-1]
     Mh = _bilinear_matrix(new_h, h).astype(x.dtype)
     Mw = _bilinear_matrix(new_w, w).astype(x.dtype)
-    out = jnp.einsum("oh,...hw->...ow", Mh, x)
-    return jnp.einsum("pw,...ow->...op", Mw, out)
+    out = jnp.einsum("oh,...hw->...ow", Mh, x, precision=precision)
+    return jnp.einsum("pw,...ow->...op", Mw, out, precision=precision)
+
+
+def interpolate_bilinear_mxu_precise(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
+    """fp32 HIGHEST-precision form of interpolate_bilinear_mxu for the
+    cancellation-sensitive terms of the Gram per-pixel scorer."""
+    return interpolate_bilinear_mxu(
+        x.astype(jnp.float32), new_h, new_w, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _bilinear_pair_matrices(out_size: int, in_size: int):
+    """Pair-product forms of `_bilinear_matrix` for interpolating
+    SQUARED-norm maps: Mq = M ⊙ M (out, in) and the adjacent-tap cross
+    products Mx[o, i] = M[o, i] * M[o, i+1] (out, in-1).
+
+    They come from expanding ||Σ_i M[o,i] f_i||² = Σ_{i,i'} M[o,i]
+    M[o,i'] <f_i, f_i'> — with two-tap rows only the diagonal (Mq) and
+    adjacent (Mx, counted twice by symmetry) pairs survive. Boundary
+    rows where both taps merge onto the last index collapse to a single
+    weight-1 entry in Mq and a zero row in Mx, which is exactly right.
+    """
+    M = _bilinear_matrix(out_size, in_size)
+    Mq = M * M
+    Mx = M[:, :-1] * M[:, 1:] if in_size > 1 else jnp.zeros((out_size, 0), M.dtype)
+    return Mq, Mx
+
+
+def interpolate_norm_sq_mxu(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
+    """Σ_d interpolate_bilinear(x)² over the channel axis WITHOUT
+    materializing the upsampled map: x (B, D, H, W) -> (B, new_h, new_w).
+
+    The per-pixel squared norm of a separable two-tap interpolation is a
+    weighted sum of Gram products between the four neighbouring input
+    cells; the five patch-resolution Gram maps (self, right, down, and
+    the two diagonals) are D-contractions at INPUT resolution, and the
+    pixel-resolution combination uses the pair-product matrices above —
+    so the D-channel pixel-resolution tensor (the dominant HBM cost of
+    the per-pixel scoring path) never exists. All in fp32; the small
+    constant-matrix contractions run at HIGHEST precision because the
+    caller subtracts this from same-magnitude terms (cancellation)."""
+    xf = x.astype(jnp.float32)
+    g00 = jnp.einsum("bdhw,bdhw->bhw", xf, xf)
+    g01 = jnp.einsum("bdhw,bdhw->bhw", xf[..., :-1], xf[..., 1:])
+    g10 = jnp.einsum("bdhw,bdhw->bhw", xf[:, :, :-1], xf[:, :, 1:])
+    g11 = jnp.einsum("bdhw,bdhw->bhw", xf[:, :, :-1, :-1], xf[:, :, 1:, 1:])
+    g1m1 = jnp.einsum("bdhw,bdhw->bhw", xf[:, :, 1:, :-1], xf[:, :, :-1, 1:])
+    h, w = x.shape[-2], x.shape[-1]
+    Aq, Ax = _bilinear_pair_matrices(new_h, h)
+    Bq, Bx = _bilinear_pair_matrices(new_w, w)
+
+    def sep(m, Mh_, Mw_):
+        t = jnp.einsum("oh,bhw->bow", Mh_, m, precision=jax.lax.Precision.HIGHEST)
+        return jnp.einsum("pw,bow->bop", Mw_, t, precision=jax.lax.Precision.HIGHEST)
+
+    out = sep(g00, Aq, Bq)
+    if w > 1:
+        out = out + 2.0 * sep(g01, Aq, Bx)
+    if h > 1:
+        out = out + 2.0 * sep(g10, Ax, Bq)
+    if h > 1 and w > 1:
+        out = out + 2.0 * sep(g11 + g1m1, Ax, Bx)
+    return out
 
 
 IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])

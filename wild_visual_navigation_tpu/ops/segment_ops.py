@@ -47,6 +47,49 @@ def segment_mean_pool(dense_features: jnp.ndarray, seg: jnp.ndarray, num_segment
     return feat, counts
 
 
+@partial(jax.jit, static_argnames=("num_segments", "out_h", "out_w"))
+def segment_mean_pool_upsampled(
+    feat: jnp.ndarray, seg: jnp.ndarray, num_segments: int, out_h: int, out_w: int
+):
+    """Per-segment mean of the bilinear-UPSAMPLED patch features,
+    without materializing the upsampled map.
+
+    Exactly `segment_mean_pool(interpolate_bilinear_mxu(feat[None],
+    out_h, out_w)[0], seg, S)` by linearity of the upsample: the
+    per-segment pixel sum of `up(feat)` is a patch-space contraction
+    with the ADJOINT-upsampled one-hot masks,
+    Σ_{p∈s} up(feat)_p = Σ_i (Σ_{p∈s} U[p, i]) feat_i.
+    The (D, out_h, out_w) pixel-resolution tensor — the HBM hot spot of
+    the per-pixel production path — never exists; together with the
+    Gram scorer (ops/pixelwise.py) the fused frame program touches
+    D-channel data only at patch resolution.
+
+    Args:
+        feat: (D, Hp, Wp) patch-resolution features.
+        seg: (out_h, out_w) int32 segment ids, -1 = unassigned.
+        num_segments: static segment capacity S.
+
+    Returns:
+        feat_mean: (S, D) per-segment means (0 for empty segments).
+        counts: (S,) pixel counts per segment (at OUTPUT resolution,
+            identical to segment_mean_pool's).
+    """
+    from .resize import _bilinear_matrix
+
+    D, Hp, Wp = feat.shape
+    Mh = _bilinear_matrix(out_h, Hp)  # (out_h, Hp)
+    Mw = _bilinear_matrix(out_w, Wp)  # (out_w, Wp)
+    onehot = jax.nn.one_hot(seg, num_segments, dtype=jnp.float32)  # (H, W, S)
+    t = jnp.einsum("hws,hp->pws", onehot, Mh)
+    A = jnp.einsum("pws,wq->spq", t, Mw)  # adjoint-downsampled masks
+    sums = jnp.einsum(
+        "spq,dpq->sd", A, feat.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    counts = jnp.sum(onehot, axis=(0, 1))
+    feat_mean = sums / jnp.maximum(counts[:, None], 1.0)
+    return feat_mean, counts
+
+
 @partial(jax.jit, static_argnames=("num_segments",))
 def segment_masked_mean(values: jnp.ndarray, value_valid: jnp.ndarray, seg: jnp.ndarray, num_segments: int):
     """Per-segment mean of a masked scalar field.

@@ -144,16 +144,19 @@ def build_fused_frame_fn(
             )
 
         if prediction_per_pixel and not anomaly and pixelwise_supports(mlp):
-            # Restructured per-pixel scorer (ops/pixelwise.py): exact
-            # reference math, ~25% faster — first Dense at patch res,
-            # MXU bilinear, bf16 rows, fused reconstruction MSE. The
-            # bf16 upsampled features it already materialized are
-            # reused for the per-segment pooling.
-            trav_b, conf_b, dense_bf16 = pixelwise_score(
-                mlp_params, feat, H, W, cg_cfg, cg_state, optimized=True, return_dense=True
+            # Gram per-pixel scorer (ops/pixelwise.py): exact reference
+            # math with every D-channel tensor kept at PATCH resolution
+            # — Dense_0 commutes with the bilinear upsample, and the
+            # reconstruction MSE expands through the K×K Gram matrix of
+            # the last layer. Per-segment pooling of the upsampled
+            # features likewise contracts the adjoint-downsampled
+            # one-hot masks against the patch features, so the
+            # (D, H, W) map never exists in the frame program.
+            trav_b, conf_b = pixelwise_score(
+                mlp_params, feat, H, W, cg_cfg, cg_state, optimized=True
             )
-            pooled, counts = segment_ops.segment_mean_pool(
-                dense_bf16[0].astype(jnp.float32), seg, S
+            pooled, counts = segment_ops.segment_mean_pool_upsampled(
+                feat[0].astype(jnp.float32), seg, S, H, W
             )
             return FrameResult(
                 traversability=trav_b[0],
@@ -285,7 +288,14 @@ def build_fused_stego_frame_fn(
         edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
         centers, center_valid = segment_ops.segment_centers(seg, S)
 
-        if prediction_per_pixel:
+        if prediction_per_pixel and pixelwise_supports(mlp):
+            # Same Gram restructuring as the dino path: the 90-channel
+            # code never materializes at pixel resolution.
+            trav_b, conf_b = pixelwise_score(
+                mlp_params, code_hw[None], H, W, cg_cfg, cg_state, optimized=True
+            )
+            trav, conf = trav_b[0], conf_b[0]
+        elif prediction_per_pixel:
             dense = interpolate_bilinear_mxu(code_hw[None], H, W)[0]  # (90, H, W)
             flat = dense.reshape(dense.shape[0], -1).T
             out_m = mlp.apply(mlp_params, flat)
