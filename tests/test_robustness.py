@@ -162,3 +162,61 @@ def test_image_batch_callback_matches_sequential():
         a = np.asarray(getattr(rt_b.estimator.buffer, field))
         b = np.asarray(getattr(rt_s.estimator.buffer, field))
         np.testing.assert_allclose(a, b, atol=1e-4, err_msg=field)
+
+
+@pytest.mark.parametrize("feature_type", ["stego", "torchvision"])
+def test_image_batch_callback_matches_sequential_other_backbones(feature_type):
+    """The stego and torchvision fused paths now also ship a natively-
+    batched `frames_batch` (backbone un-vmapped over the true batch,
+    per-image tail vmapped); the batched callback must match B
+    sequential image_callback calls for them too."""
+    import jax
+
+    from wild_visual_navigation_tpu.cfg import (
+        ExperimentParams,
+        FeatureExtractorNodeParams,
+        LearningNodeParams,
+    )
+    from wild_visual_navigation_tpu.runtime import WVNRuntime
+
+    size = 16 if feature_type == "stego" else 32
+    cams = {f"cam{i}": {"use_for_training": True} for i in range(2)}
+    seg_type = "stego" if feature_type == "stego" else "grid"
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=size, network_input_image_width=size,
+        segmentation_type=seg_type, feature_type=feature_type,
+        prediction_per_pixel=False, grid_cell_size=8,
+        image_callback_rate=1e6, camera_topics=cams,
+    )
+    ln = LearningNodeParams(network_input_image_height=size, network_input_image_width=size,
+                            image_graph_dist_thr=0.05, camera_topics=cams)
+    exp = ExperimentParams()
+    exp.model.simple_mlp_cfg.hidden_sizes = [8, 1]
+
+    def build():
+        return WVNRuntime(fe_params=fe, ln_params=ln, exp_params=exp,
+                          key=jax.random.PRNGKey(0), buffer_capacity=8, reprojection_fanout=4)
+
+    rng = np.random.RandomState(1)
+    imgs = rng.rand(2, 3, size, size).astype(np.float32)
+    K = np.tile(np.array([[100.0, 0, size / 2], [0, 100.0, size / 2], [0, 0, 1]]), (2, 1, 1))
+    pb = np.tile(np.eye(4), (2, 1, 1))
+    pb[1, 0, 3] = 1.0  # past the distance gate
+    pc = np.tile(np.eye(4), (2, 1, 1))
+
+    rt_b = build()
+    assert rt_b._fused_frame is not None
+    res_b = rt_b.image_batch_callback(imgs, [1.0, 1.001], list(cams), K, size, size, pb, pc)
+
+    rt_s = build()
+    res_s = []
+    for i, cam in enumerate(cams):
+        res_s.append(rt_s.image_callback(imgs[i], 1.0 + 0.001 * i, cam, K[i], size, size, pb[i], pc[i]))
+
+    for rb, rs in zip(res_b, res_s):
+        np.testing.assert_allclose(np.asarray(rb.traversability), np.asarray(rs.traversability),
+                                   atol=3e-3)
+    for field in ("features", "feat_valid", "seg", "K", "pose_cam_in_world", "valid"):
+        a = np.asarray(getattr(rt_b.estimator.buffer, field))
+        b = np.asarray(getattr(rt_s.estimator.buffer, field))
+        np.testing.assert_allclose(a, b, atol=1e-3, err_msg=field)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..utils.confidence_generator import ConfidenceConfig, confidence_inference
 from .resize import (
     interpolate_bilinear_mxu,
+    interpolate_bilinear_mxu_nhwc,
     interpolate_bilinear_mxu_precise,
     interpolate_norm_sq_mxu,
 )
@@ -104,11 +105,13 @@ def pixelwise_score(
 
     layers = _dense_layers(mlp_params)
     (W0, b0), mid, (Wl, bl) = layers[0], layers[1:-1], layers[-1]
-    # Dense_0 at patch resolution, upsample the hidden preactivations
-    h = jnp.einsum("bdhw,dk->bkhw", feat.astype(jnp.bfloat16), W0.astype(jnp.bfloat16))
-    h = h + b0.astype(jnp.bfloat16)[None, :, None, None]
-    h = jax.nn.relu(interpolate_bilinear_mxu(h, out_h, out_w))
-    rows = h.transpose(0, 2, 3, 1).reshape(-1, h.shape[1])
+    # Dense_0 at patch resolution, upsample the hidden preactivations.
+    # Channels-LAST end to end: the (B, H, W, K) -> (N, K) reshape is
+    # free, where the NCHW order pays a ~100 MB/frame transpose.
+    hp = jnp.einsum("bdhw,dk->bhwk", feat.astype(jnp.bfloat16), W0.astype(jnp.bfloat16))
+    hp = hp + b0.astype(jnp.bfloat16)
+    h = jax.nn.relu(interpolate_bilinear_mxu_nhwc(hp, out_h, out_w))
+    rows = h.reshape(-1, h.shape[-1])
     for W, b in mid:
         rows = jax.nn.relu(rows @ W.astype(jnp.bfloat16) + b.astype(jnp.bfloat16))
 
@@ -136,11 +139,11 @@ def pixelwise_score(
     v = Wr @ br
     c = br @ br
     feat32 = feat.astype(jnp.float32)
-    zp = jnp.einsum("bdhw,kd->bkhw", feat32, Wr, precision=_HIGH)  # (B, K, Hp, Wp)
+    zp = jnp.einsum("bdhw,kd->bhwk", feat32, Wr, precision=_HIGH)  # (B, Hp, Wp, K)
     sp = jnp.einsum("bdhw,d->bhw", feat32, br)
-    z = interpolate_bilinear_mxu_precise(zp, out_h, out_w)
+    z = interpolate_bilinear_mxu_nhwc(zp, out_h, out_w, precision=_HIGH)
     s = interpolate_bilinear_mxu_precise(sp[:, None], out_h, out_w)[:, 0]
-    zrows = z.transpose(0, 2, 3, 1).reshape(-1, K)
+    zrows = z.reshape(-1, K)
     rM = jnp.einsum("nk,kl->nl", rows32, M, precision=_HIGH)
     lin = rM + 2.0 * (v[None, :] - zrows)
     reco = (

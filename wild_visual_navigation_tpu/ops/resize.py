@@ -146,6 +146,20 @@ def interpolate_bilinear_mxu(
     return jnp.einsum("pw,...ow->...op", Mw, out, precision=precision)
 
 
+def interpolate_bilinear_mxu_nhwc(
+    x: jnp.ndarray, new_h: int, new_w: int, precision=None
+) -> jnp.ndarray:
+    """interpolate_bilinear_mxu for channels-LAST input (B, h, w, C) ->
+    (B, new_h, new_w, C). Same two-tap math; the channels-last layout
+    lets the per-pixel scorer reshape straight to (N, C) rows with no
+    transpose — at 448² the NCHW->rows transpose moves ~100 MB/frame."""
+    h, w = x.shape[-3], x.shape[-2]
+    Mh = _bilinear_matrix(new_h, h).astype(x.dtype)
+    Mw = _bilinear_matrix(new_w, w).astype(x.dtype)
+    out = jnp.einsum("oh,bhwc->bowc", Mh, x, precision=precision)
+    return jnp.einsum("pw,bowc->bopc", Mw, out, precision=precision)
+
+
 def interpolate_bilinear_mxu_precise(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
     """fp32 HIGHEST-precision form of interpolate_bilinear_mxu for the
     cancellation-sensitive terms of the Gram per-pixel scorer."""

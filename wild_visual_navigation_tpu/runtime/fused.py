@@ -264,17 +264,9 @@ def build_fused_stego_frame_fn(
     vit = stego.vit
     head = stego.head
 
-    def frame(stego_params, mlp_params, cg_state, img):
-        bparams, hparams = stego_params
-        if img.dtype == jnp.uint8:
-            img = img.astype(jnp.float32) / 255.0
-        x = resize_smaller_edge_nearest(img, H)
-        x = center_crop(x, H)
-        xn = imagenet_normalize(x)
-        out = vit.apply(bparams, xn)
-        hp, wp = out["grid"]
-        res = head.apply(hparams, out["patch_tokens"])
-        code = res["code"][0]  # (N, 90)
+    def tail(mlp_params, cg_state, code, hp, wp):
+        """Per-image tail from the (N, 90) STEGO code: k-means
+        clustering, segmentation, pooling, scoring."""
         labels, _ = cosine_kmeans(code, jrandom.PRNGKey(0), n_clusters=S)
         seg_p = labels.reshape(hp, wp).astype(jnp.int32)
 
@@ -321,6 +313,43 @@ def build_fused_stego_frame_fn(
             centers=centers,
         )
 
+    def _backbone(bparams, hparams, img):
+        """(B, 3, ?, ?) float images -> ((B, N, 90) codes, grid)."""
+        x = resize_smaller_edge_nearest(img, H)
+        x = center_crop(x, H)
+        xn = imagenet_normalize(x)
+        out = vit.apply(bparams, xn)
+        res = head.apply(hparams, out["patch_tokens"])
+        return res["code"], out["grid"]
+
+    def frame(stego_params, mlp_params, cg_state, img):
+        bparams, hparams = stego_params
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        codes, (hp, wp) = _backbone(bparams, hparams, img)
+        return tail(mlp_params, cg_state, codes[0], hp, wp)
+
+    def frames_batch(stego_params, mlp_params, cg_state, imgs, mesh=None):
+        """Natively-batched multi-camera variant (mirrors the dino
+        path): the ViT-B/8 backbone + code head run un-vmapped on the
+        full (B, ...) batch — attention "auto" resolves against the
+        true batch size (under vmap it saw B=1 and fell back off the
+        flash kernel; at S=3137 flash wins 58.9 vs 72.4 ms) — and only
+        the cheap per-image tail (k-means, pooling, scoring) is
+        vmapped. dp-shards frames over the mesh when one is given."""
+        bparams, hparams = stego_params
+        if imgs.dtype == jnp.uint8:
+            imgs = imgs.astype(jnp.float32) / 255.0
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            imgs = jax.lax.with_sharding_constraint(
+                imgs, NamedSharding(mesh, PartitionSpec("dp"))
+            )
+        codes, (hp, wp) = _backbone(bparams, hparams, imgs)
+        return jax.vmap(lambda c: tail(mlp_params, cg_state, c, hp, wp))(codes)
+
+    frame.frames_batch = frames_batch
     return jax.jit(frame) if jit_compile else frame
 
 
@@ -351,22 +380,17 @@ def build_fused_torchvision_frame_fn(
     S = num_segments
     model = tvi.model
 
-    def frame(tv_params, mlp_params, cg_state, img):
-        if img.dtype == jnp.uint8:
-            img = img.astype(jnp.float32) / 255.0
-        x = resize_smaller_edge_nearest(img, H)
-        x = center_crop(x, H)
-        xn = imagenet_normalize(x)
-        pyr = model.apply(tv_params, xn)  # {name: (1, C_i, H_i, W_i)}
-
+    def tail(mlp_params, cg_state, pyr_i, x_i):
+        """Per-image tail: segmentation + multiscale pooling + scoring.
+        pyr_i: {name: (C_i, H_i, W_i)}; x_i: (3, H, W) resized [0,1]."""
         if segmentation_type == "slic":
-            seg = slic(x[0], num_components=S, compactness=slic_compactness, iterations=slic_iterations)
+            seg = slic(x_i, num_components=S, compactness=slic_compactness, iterations=slic_iterations)
         elif segmentation_type == "grid":
             seg = segment_ops.segment_grid(H, W, cell_size)
         else:
             raise ValueError(f"fused torchvision path does not support segmentation [{segmentation_type}]")
 
-        pooled, seg_valid = segment_ops.segment_pyramid_pool({k: v[0] for k, v in pyr.items()}, seg, S)
+        pooled, seg_valid = segment_ops.segment_pyramid_pool(pyr_i, seg, S)
         edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
         centers, _ = segment_ops.segment_centers(seg, S)
 
@@ -383,6 +407,35 @@ def build_fused_torchvision_frame_fn(
             centers=centers,
         )
 
+    def _backbone(tv_params, img):
+        x = resize_smaller_edge_nearest(img, H)
+        x = center_crop(x, H)
+        xn = imagenet_normalize(x)
+        return model.apply(tv_params, xn), x  # {name: (B, C_i, H_i, W_i)}, (B, 3, H, W)
+
+    def frame(tv_params, mlp_params, cg_state, img):
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        pyr, x = _backbone(tv_params, img)
+        return tail(mlp_params, cg_state, {k: v[0] for k, v in pyr.items()}, x[0])
+
+    def frames_batch(tv_params, mlp_params, cg_state, imgs, mesh=None):
+        """Natively-batched multi-camera variant: the CNN pyramid runs
+        un-vmapped on the full (B, ...) batch (convs batch natively on
+        the MXU); only the per-image tail (SLIC, pooling, scoring) is
+        vmapped. dp-shards frames over the mesh when one is given."""
+        if imgs.dtype == jnp.uint8:
+            imgs = imgs.astype(jnp.float32) / 255.0
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            imgs = jax.lax.with_sharding_constraint(
+                imgs, NamedSharding(mesh, PartitionSpec("dp"))
+            )
+        pyr, x = _backbone(tv_params, imgs)
+        return jax.vmap(lambda p, xi: tail(mlp_params, cg_state, p, xi))(pyr, x)
+
+    frame.frames_batch = frames_batch
     return jax.jit(frame) if jit_compile else frame
 
 
