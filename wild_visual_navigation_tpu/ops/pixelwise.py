@@ -75,14 +75,19 @@ def pixelwise_score(
         the literal reference order, the equivalence baseline;
       * "restructured" — Dense_0 at patch res by linearity, MXU
         bilinear, bf16 rows, fused MSE (the r3 path, 84 -> 273 img/s);
-      * "gram" (default) — additionally never materializes the
-        D-channel pixel-resolution tensors: the reconstruction MSE
+      * "gram" — additionally never materializes the D-channel
+        pixel-resolution tensors: the reconstruction MSE
         ||r - x_up||² is expanded as rows·(M rows + 2v - 2z) + c - 2s
         + ||x_up||², where M = Wr Wrᵀ (K×K), z = upsample(Wr feat)
         (K channels, by linearity), s = upsample(br·feat), and
         ||x_up||² comes from interpolate_norm_sq_mxu's Gram maps.
         Cancelling terms run in fp32 at HIGHEST matmul precision, so
-        accuracy matches "restructured" (tests/test_models.py).
+        accuracy matches "restructured" (tests/test_models.py);
+      * "fused" (default when the shape qualifies and return_dense is
+        not requested; falls back to "gram" otherwise) — the Gram math
+        with everything after the patch-resolution precomputes in ONE
+        Pallas kernel, so no pixel-resolution tensor except the two
+        (H, W) output maps ever exists in HBM (ops/pixelwise_fused.py).
 
     return_dense=True additionally returns the upsampled D-channel
     feature map (B, D, out_h, out_w) — bf16 in the optimized paths —
@@ -91,8 +96,18 @@ def pixelwise_score(
     upsampled features is computed at patch resolution too
     (ops/segment_ops.py::segment_mean_pool_upsampled)."""
     if method is None:
-        method = "gram" if optimized else "reference"
+        method = "fused" if optimized else "reference"
     B, D = feat.shape[0], feat.shape[1]
+    if method == "fused":
+        from .pixelwise_fused import pixelwise_score_fused, supports_fused
+
+        if not return_dense and supports_fused(mlp_params, feat.shape, out_h, out_w):
+            trav, reco = pixelwise_score_fused(mlp_params, feat, out_h, out_w)
+            conf = confidence_inference(cg_cfg, cg_state, reco.reshape(-1)).reshape(
+                B, out_h, out_w
+            )
+            return trav, conf
+        method = "gram"  # didn't qualify — same math, XLA form
     if method == "reference":
         assert mlp is not None
         dense = interpolate_bilinear_mxu(feat, out_h, out_w)

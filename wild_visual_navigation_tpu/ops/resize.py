@@ -105,16 +105,15 @@ def interpolate_bilinear(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
     return top * (1 - wy) + bot * wy
 
 
-def _bilinear_matrix(out_size: int, in_size: int) -> jnp.ndarray:
-    """(out, in) align_corners=True two-tap interpolation matrix —
-    each row holds the bilinear lerp weights of interpolate_bilinear
-    for one output coordinate."""
+def _bilinear_matrix_np(out_size: int, in_size: int):
+    """Pure-numpy form of `_bilinear_matrix` — safe to index/convert on
+    the host during a jit trace (jnp constants become tracers there)."""
     import numpy as np
 
     M = np.zeros((out_size, in_size), np.float32)
     if out_size == 1:
         M[0, 0] = 1.0
-        return jnp.asarray(M)
+        return M
     f = np.arange(out_size, dtype=np.float64) * ((in_size - 1) / (out_size - 1))
     i0 = np.clip(np.floor(f).astype(int), 0, in_size - 1)
     i1 = np.clip(i0 + 1, 0, in_size - 1)
@@ -122,7 +121,14 @@ def _bilinear_matrix(out_size: int, in_size: int) -> jnp.ndarray:
     rows = np.arange(out_size)
     M[rows, i0] += 1.0 - w
     M[rows, i1] += w
-    return jnp.asarray(M)
+    return M
+
+
+def _bilinear_matrix(out_size: int, in_size: int) -> jnp.ndarray:
+    """(out, in) align_corners=True two-tap interpolation matrix —
+    each row holds the bilinear lerp weights of interpolate_bilinear
+    for one output coordinate."""
+    return jnp.asarray(_bilinear_matrix_np(out_size, in_size))
 
 
 def interpolate_bilinear_mxu(
