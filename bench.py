@@ -115,8 +115,13 @@ def main():
     # bilinear, reconstruction MSE expanded through the last layer's
     # K×K Gram matrix so no D-channel pixel-resolution tensor exists —
     # equivalence-tested): ladder 84 (gather) -> 249 (MXU bilinear)
-    # -> 310 (restructured) -> 321 img/s (gram).
-    PX_BATCH, PX_SCAN, PX_ITERS = 8, 2, 8
+    # -> 310 (restructured) -> 321 img/s (gram) -> 490 (fused Pallas
+    # scorer, ops/pixelwise_fused.py) -> ~600 at batch 48 (the fused
+    # kernel keeps pixel-resolution tensors out of HBM, so the batch
+    # is no longer capped by the gram path's ~390 MB/frame
+    # intermediates; B sweep in benchmarks/exp_px_batch.py: 8->506,
+    # 16->586, 48->605, 64->565, 96->526).
+    PX_BATCH, PX_SCAN, PX_ITERS = 48, 1, 12
 
     def one_batch_pixelwise(vp, mp, imgs):
         feat = dense_features(vit, vp, imgs)  # (B, D, Hp, Wp)
