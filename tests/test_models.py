@@ -220,3 +220,13 @@ def test_pixelwise_score_optimized_matches_reference_order():
     t1, c1 = pixelwise_score(params, feat, out, out, cfg, st, optimized=True)
     assert float(jnp.max(jnp.abs(t0 - t1))) < 0.01  # bf16 rows floor
     assert float(jnp.max(jnp.abs(c0 - c1))) < 0.02
+    # ragged/rectangular output (out_h not a multiple of the fused
+    # kernel's 8-row chunk, out_w off the 128-lane grid): the Pallas
+    # path pads with clamped duplicate rows and trims — must still
+    # match the literal reference order, and keep the right shape
+    oh, ow = 23, 37
+    t2, c2 = pixelwise_score(params, feat, oh, ow, cfg, st, optimized=False, mlp=mlp)
+    t3, c3 = pixelwise_score(params, feat, oh, ow, cfg, st, optimized=True, method="fused")
+    assert t3.shape == (2, oh, ow) and c3.shape == (2, oh, ow)
+    assert float(jnp.max(jnp.abs(t2 - t3))) < 0.01
+    assert float(jnp.max(jnp.abs(c2 - c3))) < 0.02

@@ -98,17 +98,17 @@ def _row_tables(out_size: int, in_size: int):
 
 def supports_fused(mlp_params, feat_shape, out_h: int, out_w: int) -> bool:
     """Static qualification for the Pallas kernel: >=2 patch rows/cols
-    per axis (2-tap slices), out_h divisible by the row-chunk, the
-    SimpleMLP Dense_i stack with exactly one mid layer, and operand
-    blocks that fit the 16 MB scoped-VMEM budget double-buffered."""
+    per axis (2-tap slices), the SimpleMLP Dense_i stack with exactly
+    one mid layer, and operand blocks that fit the 16 MB scoped-VMEM
+    budget double-buffered. Any out_h >= 2 works: the row count is
+    padded to the 8-row chunk with clamped duplicate rows, trimmed
+    outside the kernel."""
     p = mlp_params.get("params", {})
     names = sorted((k for k in p if k.startswith("Dense_")), key=lambda k: int(k.split("_")[1]))
     if len(names) != 3:
         return False
     B, D, Hp, Wp = feat_shape
-    if Hp < 2 or Wp < 2 or out_w < 2:
-        return False
-    if out_h < _C or out_h % _C != 0:
+    if Hp < 2 or Wp < 2 or out_w < 2 or out_h < 2:
         return False
     K1 = p[names[0]]["kernel"].shape[1]
     K = p[names[1]]["kernel"].shape[1]
@@ -142,7 +142,8 @@ def pixelwise_score_fused(
 
     nx = -(-out_w // _LANES)
     Wpad = nx * _LANES
-    ny = out_h // _C
+    ny = -(-out_h // _C)
+    out_h_pad = ny * _C  # ragged tail rows clamp to the last output row
 
     # W-axis upsample matrix, zero-padded to Wpad output rows so the
     # lane-tail columns (x >= out_w) hold zeros, not garbage.
@@ -188,10 +189,15 @@ def pixelwise_score_fused(
         [zw, sw[:, :, None], t0[:, :, None], t1[:, :, None]], axis=2
     )  # (B, Hp, K+3, Wpad)
 
-    # per-row H-axis tables
+    # per-row H-axis tables, padded to the row-chunk by repeating the
+    # last row's entries (the duplicate rows are trimmed below)
     starts_np, coef_np = _row_tables(out_h, Hp)
-    starts = jnp.asarray(starts_np).reshape(1, out_h)
-    coef = jnp.asarray(coef_np)  # (out_h, 8)
+    if out_h_pad != out_h:
+        pad = out_h_pad - out_h
+        starts_np = np.concatenate([starts_np, np.repeat(starts_np[-1:], pad)])
+        coef_np = np.concatenate([coef_np, np.repeat(coef_np[-1:], pad, axis=0)])
+    starts = jnp.asarray(starts_np).reshape(1, out_h_pad)
+    coef = jnp.asarray(coef_np)  # (out_h_pad, 8)
 
     M = jnp.einsum("kd,ld->kl", Wr, Wr, precision=_HIGH)  # (K, K)
     GT = jnp.concatenate([Wl32[:, :1], M], axis=1).T  # (1+K, K)
@@ -206,8 +212,8 @@ def pixelwise_score_fused(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, out_h), lambda b, x: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((out_h, 8), lambda b, x: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, out_h_pad), lambda b, x: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((out_h_pad, 8), lambda b, x: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Hp, K1, _LANES), lambda b, x: (b, 0, 0, x), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hp, K + 3, _LANES), lambda b, x: (b, 0, 0, x), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, K1), lambda b, x: (0, 0), memory_space=pltpu.VMEM),
@@ -217,18 +223,18 @@ def pixelwise_score_fused(
             pl.BlockSpec((1, 2), lambda b, x: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, out_h, _LANES), lambda b, x: (b, 0, x), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, out_h, _LANES), lambda b, x: (b, 0, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_h_pad, _LANES), lambda b, x: (b, 0, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_h_pad, _LANES), lambda b, x: (b, 0, x), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, out_h, Wpad), jnp.float32),
-            jax.ShapeDtypeStruct((B, out_h, Wpad), jnp.float32),
+            jax.ShapeDtypeStruct((B, out_h_pad, Wpad), jnp.float32),
+            jax.ShapeDtypeStruct((B, out_h_pad, Wpad), jnp.float32),
         ],
         interpret=interpret,
     )(starts, coef, hw, zsts, W1T, b1c, GT, v, consts)
     # rows were written straight to their (B, out_h, Wpad) positions —
     # only the lane-pad tail to trim, no transpose.
-    return trav[:, :, :out_w], reco[:, :, :out_w]
+    return trav[:, :out_h, :out_w], reco[:, :out_h, :out_w]
 
 
 def _score_kernel(
