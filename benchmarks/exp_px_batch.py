@@ -47,7 +47,7 @@ def main():
             return outs[0]
         return pipeline
 
-    variants = [(48, 1, 6), (64, 1, 5), (96, 1, 4)]
+    variants = [(8, 2, 8), (16, 2, 6), (32, 1, 8), (48, 1, 6), (64, 1, 5), (96, 1, 4)]
     pipes = {}
     for B, SCAN, ITERS in variants:
         pipes[(B, SCAN)] = (make_pipeline(B, SCAN),

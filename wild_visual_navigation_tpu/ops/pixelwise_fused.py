@@ -53,7 +53,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .resize import _bilinear_matrix_np
+from .resize import _bilinear_matrix_np, _bilinear_pair_matrices_np
 
 _HIGH = jax.lax.Precision.HIGHEST
 _LANES = 128  # TPU vreg lane width; column blocks are one vreg wide
@@ -65,20 +65,22 @@ def _row_tables(out_size: int, in_size: int):
 
     Returns (starts, coef) with starts[y] = the first of the two input
     rows the kernel slices (clamped so start+1 is always in range) and
-    coef[y] = [c0, c1, q0, q1, x0, x1, 0, 0]:
+    coef[y] = [c0, c1, q0, q1, x0, 0, 0, 0]:
       value   = c0*row[start] + c1*row[start+1]         (lerp weights)
       normsq  = q0*t0[start] + q1*t0[start+1]
-              + x0*t1[start] + x1*t1[start+1]           (pair weights)
-    Merged-tap boundary rows (both taps on the last input row) collapse
-    correctly because the weights come from the same `_bilinear_matrix`
-    machinery the XLA paths use (pure-numpy form — jnp constants become
-    tracers mid-trace).
+              + x0*t1[start]                            (pair weights)
+    The cross term needs only t1[start]: Mx[y, j] = M[y,j]*M[y,j+1] is
+    nonzero only where BOTH j and j+1 are taps, i.e. j = start — a
+    hypothetical x1·t1[start+1] slot would multiply M[y,start+1]*
+    M[y,start+2] = 0 always. Merged-tap boundary rows (both taps on the
+    last input row) collapse correctly because the weights come from
+    the same `_bilinear_matrix` machinery the XLA paths use (pure-numpy
+    form — jnp constants become tracers mid-trace).
     """
     M = _bilinear_matrix_np(out_size, in_size)
-    Aq = M * M
+    Aq, Ax = _bilinear_pair_matrices_np(out_size, in_size)
     Axp = np.zeros((out_size, in_size), np.float32)
-    if in_size > 1:
-        Axp[:, : in_size - 1] = M[:, :-1] * M[:, 1:]
+    Axp[:, : max(in_size - 1, 0)] = Ax
     if out_size == 1:
         f = np.zeros((1,), np.float64)
     else:
@@ -92,7 +94,6 @@ def _row_tables(out_size: int, in_size: int):
     coef[:, 2] = Aq[rows, starts]
     coef[:, 3] = Aq[rows, starts + 1]
     coef[:, 4] = Axp[rows, starts]
-    coef[:, 5] = Axp[rows, starts + 1]
     return starts, coef
 
 
@@ -113,8 +114,12 @@ def supports_fused(mlp_params, feat_shape, out_h: int, out_w: int) -> bool:
     K1 = p[names[0]]["kernel"].shape[1]
     K = p[names[1]]["kernel"].shape[1]
     kp = (K + 3 + 7) // 8 * 8  # zsts sublanes, padded to the f32 tile
-    block_bytes = Hp * _LANES * (K1 * 2 + kp * 4)
-    return block_bytes * 2 <= 12_000_000
+    in_bytes = Hp * _LANES * (K1 * 2 + kp * 4)
+    out_h_pad = -(-out_h // _C) * _C
+    out_bytes = 2 * out_h_pad * _LANES * 4  # two fp32 output blocks
+    # double-buffered operands within a 12 MB slice of the 16 MB of
+    # scoped VMEM (headroom for the weight blocks + compiler scratch)
+    return (in_bytes + out_bytes) * 2 <= 12_000_000
 
 
 def pixelwise_score_fused(
@@ -145,15 +150,18 @@ def pixelwise_score_fused(
     ny = -(-out_h // _C)
     out_h_pad = ny * _C  # ragged tail rows clamp to the last output row
 
-    # W-axis upsample matrix, zero-padded to Wpad output rows so the
+    # W-axis upsample matrix + its pair-product forms
+    # (resize._bilinear_pair_matrices_np — one audited place for the
+    # squared-norm expansion), zero-padded to Wpad output rows so the
     # lane-tail columns (x >= out_w) hold zeros, not garbage.
     Mw_np = np.zeros((Wpad, Wp), np.float32)
     Mw_np[:out_w] = _bilinear_matrix_np(out_w, Wp)
     Mw = jnp.asarray(Mw_np)
-    Mq_np = Mw_np * Mw_np
+    Mqv, Mxv = _bilinear_pair_matrices_np(out_w, Wp)
+    Mq_np = np.zeros((Wpad, Wp), np.float32)
+    Mq_np[:out_w] = Mqv
     Mx_np = np.zeros((Wpad, Wp), np.float32)
-    if Wp > 1:
-        Mx_np[:, : Wp - 1] = Mw_np[:, :-1] * Mw_np[:, 1:]
+    Mx_np[:out_w, : max(Wp - 1, 0)] = Mxv
     Mq, Mx = jnp.asarray(Mq_np), jnp.asarray(Mx_np)
 
     # ---- XLA precomputes, all at patch-H resolution, transposed to
@@ -279,7 +287,6 @@ def _score_kernel(
             q0 = coef_ref[r, 2]
             q1 = coef_ref[r, 3]
             x0 = coef_ref[r, 4]
-            x1 = coef_ref[r, 5]
             hp2 = hw_ref[0, pl.ds(st, 2)]  # (2, K1, Xw) bf16
             hs.append(c0.astype(jnp.bfloat16) * hp2[0] + c1.astype(jnp.bfloat16) * hp2[1])
             zs2 = zsts_ref[0, pl.ds(st, 2)]  # (2, K+3, Xw) f32
@@ -289,7 +296,6 @@ def _score_kernel(
                 q0 * zs2[0, K + 1 : K + 2]
                 + q1 * zs2[1, K + 1 : K + 2]
                 + x0 * zs2[0, K + 2 : K + 3]
-                + x1 * zs2[1, K + 2 : K + 3]
             )  # (1, Xw)
         h = jnp.maximum(jnp.concatenate(hs, axis=1), 0)  # (K1, C*Xw) bf16
         x1h = jax.lax.dot_general(

@@ -185,9 +185,20 @@ def _bilinear_pair_matrices(out_size: int, in_size: int):
     rows where both taps merge onto the last index collapse to a single
     weight-1 entry in Mq and a zero row in Mx, which is exactly right.
     """
-    M = _bilinear_matrix(out_size, in_size)
+    Mq, Mx = _bilinear_pair_matrices_np(out_size, in_size)
+    return jnp.asarray(Mq), jnp.asarray(Mx)
+
+
+def _bilinear_pair_matrices_np(out_size: int, in_size: int):
+    """Pure-numpy core of `_bilinear_pair_matrices` — the single audited
+    place the squared-norm pair-product expansion lives (also consumed
+    host-side by ops/pixelwise_fused.py, where jnp constants would
+    become tracers mid-trace)."""
+    import numpy as np
+
+    M = _bilinear_matrix_np(out_size, in_size)
     Mq = M * M
-    Mx = M[:, :-1] * M[:, 1:] if in_size > 1 else jnp.zeros((out_size, 0), M.dtype)
+    Mx = M[:, :-1] * M[:, 1:] if in_size > 1 else np.zeros((out_size, 0), M.dtype)
     return Mq, Mx
 
 
