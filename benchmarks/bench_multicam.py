@@ -81,7 +81,9 @@ def product_main(args):
         buffer_capacity=64, reprojection_fanout=32,
         supervision_flush_every=args.flush_every,
         supervision_resolve_every=args.resolve_every,
-        score_at_patch_res=True,  # the TPU-native scoring path (see bench.py)
+        # patch-res is the TPU-native scoring path (see bench.py);
+        # --pixelwise runs the reference's full per-pixel math instead
+        score_at_patch_res=not args.pixelwise,
     )
 
     rng = np.random.RandomState(0)
@@ -150,7 +152,8 @@ def product_main(args):
     frame_ms = 100.0  # 10 Hz design gate (reference default.yaml:39)
 
     result = {
-        "config": f"PRODUCT_{args.cameras}cam_dinov2_{args.backbone_type}_{size}px_full_runtime",
+        "config": f"PRODUCT_{args.cameras}cam_dinov2_{args.backbone_type}_{size}px_full_runtime"
+        + ("_pixelwise" if args.pixelwise else ""),
         "cycle_ms": round(dt * 1e3, 2),
         "per_camera_hz": round(1.0 / dt, 2),
         "images_per_sec": round(B / dt, 2),
@@ -173,6 +176,10 @@ def main():
     ap.add_argument("--lat_iters", type=int, default=20)
     ap.add_argument("--product", action="store_true",
                     help="drive WVNRuntime end-to-end instead of standalone stage replicas")
+    ap.add_argument("--pixelwise", action="store_true",
+                    help="(--product) score with the reference's full per-pixel math "
+                         "(644^2 pixels/cam through ops/pixelwise_fused.py) instead of "
+                         "the TPU-native patch-res path")
     ap.add_argument("--flush_every", type=int, default=1, help="(--product) supervision micro-batching")
     ap.add_argument("--resolve_every", type=int, default=8,
                     help="(--product) train calls between blocking supervision-flag readbacks")
