@@ -107,6 +107,21 @@ def main():
 
         with open(args.ckpt, "rb") as f:
             payload = pickle.load(f)
+        arch = payload.get("arch")
+        if arch is not None:
+            # converted reference checkpoints (tools/convert_reference_checkpoint.py)
+            # carry their architecture; rebuild the head to match it
+            if arch["input_size"] != D:
+                raise SystemExit(
+                    f"checkpoint expects {arch['input_size']}-dim features but "
+                    f"{args.feature_type}/{args.dino_backbone} produces {D}"
+                )
+            model = get_model({
+                "name": "SimpleMLP",
+                "simple_mlp_cfg": {"input_size": D, "hidden_sizes": arch["hidden_sizes"],
+                                   "reconstruction": arch["reconstruction"]},
+            })
+            params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, D)))
         params = serialization.from_bytes(params, payload["params"])
         cg_state = serialization.from_bytes(cg_state, payload["cg_state"])
         print(f"loaded checkpoint {args.ckpt} (step {payload.get('step')})")

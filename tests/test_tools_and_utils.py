@@ -328,3 +328,55 @@ def test_quickstart_golden_regression():
     # label IDs are deterministic given the fixed init)
     seg_agree = (np.asarray(ex.segments) == gold["segments"]).mean()
     assert seg_agree > 0.95, seg_agree
+
+
+def test_convert_reference_checkpoint_roundtrip(tmp_path):
+    """tools/convert_reference_checkpoint.py: a reference-style .pt
+    head (torch Linear/ReLU stack state dict, reference
+    simple_mlp.py:10-39, plus the confidence_generator entry the
+    released checkpoints carry, quick_start.py:141-150) converts to
+    our payload and reproduces the torch forward to fp32 rounding."""
+    import pickle
+
+    import torch
+    from flax import serialization
+
+    from tools.convert_reference_checkpoint import convert_state_dict, main as convert_main
+    from wild_visual_navigation_tpu.utils.confidence_generator import confidence_init
+
+    D, hidden, nsig = 24, [48, 16], 1
+    torch.manual_seed(0)
+    # reference SimpleMLP structure: reconstruction=True widens the
+    # last layer by input_size; sigmoid on the first nsig columns
+    layers = torch.nn.Sequential(
+        torch.nn.Linear(D, hidden[0]), torch.nn.ReLU(),
+        torch.nn.Linear(hidden[0], hidden[1]), torch.nn.ReLU(),
+        torch.nn.Linear(hidden[1], nsig + D),
+    )
+    sd = {f"layers.{i}.{p}": t for i, m in enumerate(layers)
+          for p, t in getattr(m, "state_dict", dict)().items()}
+    sd["confidence_generator"] = {
+        "mean": torch.tensor(0.37), "std": torch.tensor(0.11), "var": torch.tensor(0.0121),
+    }
+    pt = tmp_path / "head.pt"
+    torch.save(sd, pt)
+
+    out = tmp_path / "head.ckpt"
+    convert_main([str(pt), str(out)])
+
+    with open(out, "rb") as f:
+        payload = pickle.load(f)
+    mlp, params0, _ = convert_state_dict(sd)
+    assert payload["arch"] == {"input_size": D, "hidden_sizes": [48, 16, 1],
+                               "reconstruction": True}
+    params = serialization.from_bytes(params0, payload["params"])
+    cg_state = serialization.from_bytes(confidence_init(), payload["cg_state"])
+    assert abs(float(cg_state.mean) - 0.37) < 1e-6
+    assert abs(float(cg_state.std) - 0.11) < 1e-6
+
+    x = np.random.RandomState(1).randn(37, D).astype(np.float32)
+    with torch.no_grad():
+        ref = layers(torch.from_numpy(x))
+        ref[:, :nsig] = torch.sigmoid(ref[:, :nsig])
+    ours = mlp.apply(params, jnp.asarray(x))
+    assert np.max(np.abs(np.asarray(ours) - ref.numpy())) < 1e-5
