@@ -27,6 +27,7 @@ from wild_visual_navigation_tpu.runtime.converters import (
     anymal_state_to_robot_state,
     camera_info_to_K,
     jackal_state_to_robot_state,
+    policy_debug_info_to_twist,
     pose7_to_se3,
     se3_to_pose7,
 )
@@ -80,6 +81,14 @@ def test_converters():
     )
     np.testing.assert_allclose(js["twist"], [0.5, 0, 0, 0, 0, 0.1])
     np.testing.assert_allclose(js["desired_twist"], [1, 0, 0, 0, 0, 0])
+
+    # policy debug vector [vx, vy, wz, ...] -> desired twist (reference
+    # policy_debug_info_converter_node.py)
+    dt = policy_debug_info_to_twist([0.3, -0.1, 0.2, 9.9], stamp=3.0)
+    np.testing.assert_allclose(dt["desired_twist"], [0.3, -0.1, 0, 0, 0, 0.2])
+    assert dt["stamp"] == 3.0
+    with pytest.raises(ValueError):
+        policy_debug_info_to_twist([1.0, 2.0])
 
 
 def test_socket_transport(tmp_path):

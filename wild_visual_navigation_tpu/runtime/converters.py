@@ -124,3 +124,17 @@ def jackal_state_to_robot_state(odometry: Dict, cmd_vel: Dict) -> Dict:
         "twist": twist,
         "desired_twist": desired,
     }
+
+
+def policy_debug_info_to_twist(debug_info: np.ndarray, stamp: float = 0.0) -> Dict:
+    """Learned-policy debug vector -> desired-twist fields (reference
+    policy_debug_info_converter_node.py:13-18): data[0]=vx, data[1]=vy,
+    data[2]=wz, everything else zero. Feeds the same desired-twist slot
+    jackal_state_to_robot_state fills from cmd_vel."""
+    data = np.asarray(debug_info, dtype=np.float64).ravel()
+    if data.size < 3:
+        raise ValueError(f"debug_info needs >= 3 entries (vx, vy, wz), got {data.size}")
+    return {
+        "stamp": float(stamp),
+        "desired_twist": np.array([data[0], data[1], 0.0, 0.0, 0.0, data[2]]),
+    }
