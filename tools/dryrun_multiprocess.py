@@ -18,7 +18,7 @@ multi-host story SURVEY §2.4 asks for, validated without real hosts.
 
 Usage: python tools/dryrun_multiprocess.py [--procs 2] [--devices 4]
 Exit code 0 = OK. Also spawned by __graft_entry__.dryrun_multichip and
-tests/test_distributed.py.
+tests/test_parallel.py.
 """
 
 from __future__ import annotations
