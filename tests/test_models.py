@@ -230,3 +230,44 @@ def test_pixelwise_score_optimized_matches_reference_order():
     assert t3.shape == (2, oh, ow) and c3.shape == (2, oh, ow)
     assert float(jnp.max(jnp.abs(t2 - t3))) < 0.01
     assert float(jnp.max(jnp.abs(c2 - c3))) < 0.02
+
+
+def test_pixelwise_map_rows_chunked_matches_dense_order():
+    """ops/pixelwise.py::pixelwise_map_rows_chunked: scoring the
+    upsampled feature map in row bands (no (D, H, W) tensor in HBM)
+    must equal scoring the materialized dense map row-by-row — for an
+    arbitrary per-row fn and for the LinearRnvp anomaly head — incl. a
+    ragged out_h that pads the last band."""
+    from wild_visual_navigation_tpu.models import get_model
+    from wild_visual_navigation_tpu.ops.pixelwise import pixelwise_map_rows_chunked
+    from wild_visual_navigation_tpu.ops.resize import interpolate_bilinear_mxu
+
+    D, Hp, Wp = 24, 6, 7
+    feat = jax.random.normal(jax.random.PRNGKey(2), (1, D, Hp, Wp))
+
+    for oh, ow in [(40, 48), (23, 37)]:  # 23 % target_rows != 0 -> padded band
+        dense = interpolate_bilinear_mxu(feat, oh, ow)[0]
+        rows_ref = dense.reshape(D, -1).T
+
+        def score(rows):
+            return {"a": rows.sum(-1), "b": jnp.tanh(rows[:, 0])}
+
+        got = pixelwise_map_rows_chunked(score, feat, oh, ow, target_rows=8)
+        want = jax.tree_util.tree_map(lambda t: t.reshape(oh, ow), score(rows_ref))
+        for k in want:
+            assert got[k].shape == (oh, ow)
+            assert float(jnp.max(jnp.abs(got[k] - want[k]))) < 1e-5, k
+
+    # the production consumer: LinearRnvp log-likelihood per pixel
+    rnvp = get_model({"name": "LinearRnvp", "linear_rnvp_cfg": {"input_size": D}})
+    rp = rnvp.init(jax.random.PRNGKey(3), jnp.zeros((1, D)))
+
+    def rnvp_nll(rows):
+        out = rnvp.apply(rp, rows)
+        return jnp.sum(out["logprob"], axis=-1) + out["log_det"]
+
+    oh = ow = 30
+    dense = interpolate_bilinear_mxu(feat, oh, ow)[0]
+    want = rnvp_nll(dense.reshape(D, -1).T).reshape(oh, ow)
+    got = pixelwise_map_rows_chunked(rnvp_nll, feat, oh, ow, target_rows=8)
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-4

@@ -173,3 +173,55 @@ def pixelwise_score(
         xup = interpolate_bilinear_mxu(feat.astype(jnp.bfloat16), out_h, out_w)
         return trav, conf, xup
     return trav, conf
+
+
+def pixelwise_map_rows_chunked(score_fn, feat, out_h: int, out_w: int,
+                               target_rows: int = 32):
+    """Apply an arbitrary per-row scorer over every pixel of the
+    bilinearly-upsampled feature map WITHOUT materializing the
+    (D, out_h, out_w) tensor.
+
+    The Gram/fused scorers (above) serve SimpleMLP heads only; heads
+    whose math doesn't restructure (LinearRnvp anomaly likelihood,
+    custom models) previously paid the full pixel-resolution upsample
+    (~300 MB/frame fp32 at 448 px) plus every pixel-resolution
+    intermediate inside the head. This runs the same exact math in
+    output-row bands under `lax.map`: each band upsamples
+    (target_rows, out_w) pixels straight from patch resolution (the
+    two-tap H-weights of those rows are a slice of the interpolation
+    matrix) and scores its rows, so live pixel-resolution state is one
+    band, not the frame.
+
+    Args:
+        score_fn: (N, D) feature rows -> pytree of (N,) arrays.
+        feat: (1, D, Hp, Wp) patch-resolution features.
+        target_rows: output rows per band (out_h is padded up to a
+            multiple; padded rows score zero-features and are dropped).
+
+    Returns:
+        The score_fn pytree with every leaf reshaped to (out_h, out_w).
+    """
+    import numpy as np
+
+    from .resize import _bilinear_matrix_np
+
+    _, D, Hp, Wp = feat.shape
+    rows = max(1, min(out_h, target_rows))
+    n_chunks = -(-out_h // rows)
+    pad = n_chunks * rows - out_h
+    Mh = _bilinear_matrix_np(out_h, Hp)
+    if pad:
+        Mh = np.concatenate([Mh, np.zeros((pad, Hp), np.float32)], axis=0)
+    Mh_c = jnp.asarray(Mh.reshape(n_chunks, rows, Hp), feat.dtype)
+    Mw = jnp.asarray(_bilinear_matrix_np(out_w, Wp), feat.dtype)
+    x = feat[0]
+
+    def one_band(Mhc):
+        band = jnp.einsum("rh,dhw->drw", Mhc, x)
+        band = jnp.einsum("pw,drw->rpd", Mw, band)  # channels-last rows
+        return score_fn(band.reshape(rows * out_w, D))
+
+    outs = jax.lax.map(one_band, Mh_c)
+    return jax.tree_util.tree_map(
+        lambda t: t.reshape(n_chunks * rows, out_w)[:out_h], outs
+    )

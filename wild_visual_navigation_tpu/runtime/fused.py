@@ -31,7 +31,7 @@ from ..ops.resize import (
     interpolate_bilinear_mxu,
     resize_smaller_edge_nearest,
 )
-from ..ops.pixelwise import pixelwise_score
+from ..ops.pixelwise import pixelwise_map_rows_chunked, pixelwise_score
 from ..ops.pixelwise import supports_optimized as pixelwise_supports
 from ..ops.slic import slic
 from ..utils.confidence_generator import ConfidenceConfig, confidence_inference
@@ -169,18 +169,20 @@ def build_fused_frame_fn(
                 centers=centers,
             )
 
-        # matmul-formulated bilinear: the D-channel upsample is the
-        # per-pixel path's HBM hot spot; the MXU form is 3x faster at
-        # 448 px and equivalence-tested (ops/resize.py)
-        dense = interpolate_bilinear_mxu(feat, H, W)[0]  # (D, H, W)
-        pooled, counts = segment_ops.segment_mean_pool(dense, seg, S)
-
-        D = dense.shape[0]
+        # Generic per-pixel path (anomaly flows, custom heads): pooling
+        # contracts at patch resolution (segment_mean_pool_upsampled)
+        # and scoring runs in row bands (pixelwise_map_rows_chunked),
+        # so the (D, H, W) upsampled map — ~300 MB/frame fp32 at
+        # 448 px, plus every pixel-resolution intermediate inside the
+        # head — never exists in HBM.
+        pooled, counts = segment_ops.segment_mean_pool_upsampled(
+            feat[0].astype(jnp.float32), seg, S, H, W
+        )
         if prediction_per_pixel:
-            flat = dense.reshape(D, -1).T
-            trav, conf = _score_rows(mlp, mlp_params, cg_cfg, cg_state, flat, anomaly)
-            trav = trav.reshape(H, W)
-            conf = conf.reshape(H, W)
+            trav, conf = pixelwise_map_rows_chunked(
+                lambda rows: _score_rows(mlp, mlp_params, cg_cfg, cg_state, rows, anomaly),
+                feat, H, W,
+            )
         else:
             trav_seg, conf_seg = _score_rows(mlp, mlp_params, cg_cfg, cg_state, pooled, anomaly)
             sid = seg.clip(0, S - 1)
