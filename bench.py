@@ -60,7 +60,18 @@ FLOP_BACKBONE = 63.5e9
 # MLP head per row: 2*(384*256 + 256*32 + 32*385) = 237,632 FLOPs.
 FLOP_MLP_ROW = 2 * (384 * 256 + 256 * 32 + 32 * 385)
 FLOP_PATCHRES = FLOP_BACKBONE + FLOP_MLP_ROW * (SIZE // 14) ** 2  # ~63.7e9
-FLOP_PIXELWISE = FLOP_BACKBONE + FLOP_MLP_ROW * SIZE * SIZE  # ~111.2e9
+# the reference's per-pixel math would run FLOP_MLP_ROW at every pixel
+# (~111 GFLOP/frame); the Gram/fused scorer algebraically ELIMINATES
+# most of it (Dense_0 at patch resolution; mid+Gram layers per pixel),
+# so the hardware executes roughly:
+#   Dense_0 at 1024 patch rows + per-pixel (256-ch 2-tap lerp +
+#   256x32 mid + 32x32 Gram + 32 dot) ~ 19.6k FLOP/px -> ~3.9e9
+FLOP_PIXELWISE_REFMATH = FLOP_BACKBONE + FLOP_MLP_ROW * SIZE * SIZE  # ~111.2e9
+FLOP_PIXELWISE_EXECUTED = (
+    FLOP_BACKBONE
+    + 2 * 384 * 256 * (SIZE // 14) ** 2
+    + (4 * 256 + 2 * (256 * 32 + 32 * 32 + 32)) * SIZE * SIZE
+)  # ~67.6e9 actually executed
 
 
 def _measure(pipeline, params, gen_batch, batch_images: int, iters: int):
@@ -180,7 +191,15 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(px_rate / BASELINE_IMAGES_PER_SEC, 2),
         "baseline_definition": "reference design gate: 10 img/s/camera rate limit (default.yaml:39); reference publishes no measured throughput",
-        "mfu": round(px_rate * FLOP_PIXELWISE / (PEAK_TFLOPS * 1e12), 3),
+        # utilization from FLOPs the hardware actually executes (the
+        # Gram/fused scorer eliminates most per-pixel MLP FLOPs) —
+        # NOT from the reference math's FLOP count, which would
+        # overstate MFU ~1.7x and could exceed 1.0 for a fast-enough
+        # restructuring
+        "mfu": round(px_rate * FLOP_PIXELWISE_EXECUTED / (PEAK_TFLOPS * 1e12), 3),
+        "effective_mfu_reference_math": round(
+            px_rate * FLOP_PIXELWISE_REFMATH / (PEAK_TFLOPS * 1e12), 3
+        ),
         "rounds": [round(x, 1) for x in px_rounds],
         "work": "448^2 per-pixel MLP traversability + confidence maps (reference math, dino_interface.py:87-91)",
         "patchres": {

@@ -126,19 +126,29 @@ def main():
         cg_state = serialization.from_bytes(cg_state, payload["cg_state"])
         print(f"loaded checkpoint {args.ckpt} (step {payload.get('step')})")
 
+    # heads without reconstruction outputs (converter --no-reconstruction)
+    # have no residual to calibrate — confidence is all-ones then, like
+    # the anomaly path's
+    has_reco = getattr(model, "reconstruction", True)
+
+    def _confidence(cg_state, x, out):
+        if has_reco:
+            return reconstruction_confidence(cg_cfg, cg_state, x, out[:, 1:])
+        return jnp.ones(out.shape[0], out.dtype)
+
     @jax.jit
     def predict_dense(params, cg_state, dense_feat):
         Df, Hf, Wf = dense_feat.shape
         x = dense_feat.reshape(Df, -1).T
         out = model.apply(params, x)
         trav = out[:, 0].reshape(Hf, Wf)
-        conf = reconstruction_confidence(cg_cfg, cg_state, x, out[:, 1:]).reshape(Hf, Wf)
+        conf = _confidence(cg_state, x, out).reshape(Hf, Wf)
         return trav, conf
 
     @jax.jit
     def predict_segments(params, cg_state, feat, seg):
         out = model.apply(params, feat)
-        conf_seg = reconstruction_confidence(cg_cfg, cg_state, feat, out[:, 1:])
+        conf_seg = _confidence(cg_state, feat, out)
         sid = seg.clip(0, feat.shape[0] - 1)
         return out[:, 0][sid], conf_seg[sid]
 

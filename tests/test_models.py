@@ -271,3 +271,22 @@ def test_pixelwise_map_rows_chunked_matches_dense_order():
     want = rnvp_nll(dense.reshape(D, -1).T).reshape(oh, ow)
     got = pixelwise_map_rows_chunked(rnvp_nll, feat, oh, ow, target_rows=8)
     assert float(jnp.max(jnp.abs(got - want))) < 1e-4
+
+
+def test_supports_optimized_rejects_depth1_head():
+    """A single-Dense SimpleMLP would alias layers[0] and layers[-1] in
+    the Dense_0-commutes restructuring — supports_optimized must reject
+    it so the fused tail falls back to the literal order."""
+    from wild_visual_navigation_tpu.models import get_model
+    from wild_visual_navigation_tpu.ops.pixelwise import supports_optimized
+
+    shallow = get_model({
+        "name": "SimpleMLP",
+        "simple_mlp_cfg": {"input_size": 8, "hidden_sizes": [1], "reconstruction": True},
+    })
+    assert not supports_optimized(shallow)
+    deep = get_model({
+        "name": "SimpleMLP",
+        "simple_mlp_cfg": {"input_size": 8, "hidden_sizes": [16, 1], "reconstruction": True},
+    })
+    assert supports_optimized(deep)

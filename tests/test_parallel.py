@@ -269,3 +269,12 @@ def test_runtime_distributed_trainer_hook():
     with rt._mailbox_lock:
         mailbox_leaf = jax.tree_util.tree_leaves(rt._inference_params)[0]
     np.testing.assert_allclose(np.asarray(mailbox_leaf), np.asarray(after))
+
+    # pause must bind in distributed mode too (reference PauseLearning
+    # service): the collective step is skipped, not merely unlogged
+    rt.pause_learning(True)
+    st = rt.learning_step()
+    assert trainer.step_count == 4 and st.pause_learning
+    rt.pause_learning(False)
+    rt.learning_step()
+    assert trainer.step_count == 5

@@ -380,3 +380,41 @@ def test_convert_reference_checkpoint_roundtrip(tmp_path):
         ref[:, :nsig] = torch.sigmoid(ref[:, :nsig])
     ours = mlp.apply(params, jnp.asarray(x))
     assert np.max(np.abs(np.asarray(ours) - ref.numpy())) < 1e-5
+
+
+def test_convert_reference_checkpoint_no_reconstruction(tmp_path):
+    """--no-reconstruction heads (last width == 1) convert and load:
+    the arch payload records reconstruction=False and quick_start-style
+    consumers produce all-ones confidence instead of crashing on an
+    empty out[:, 1:]."""
+    import pickle
+
+    import torch
+    from flax import serialization
+
+    from tools.convert_reference_checkpoint import convert_state_dict, main as convert_main
+
+    D = 12
+    torch.manual_seed(1)
+    layers = torch.nn.Sequential(
+        torch.nn.Linear(D, 16), torch.nn.ReLU(), torch.nn.Linear(16, 1),
+    )
+    sd = {f"layers.{i}.{p}": t for i, m in enumerate(layers)
+          for p, t in getattr(m, "state_dict", dict)().items()}
+    pt = tmp_path / "head.pt"
+    torch.save(sd, pt)
+    out = tmp_path / "head.ckpt"
+    convert_main([str(pt), str(out), "--no-reconstruction"])
+
+    with open(out, "rb") as f:
+        payload = pickle.load(f)
+    assert payload["arch"] == {"input_size": D, "hidden_sizes": [16, 1],
+                               "reconstruction": False}
+    mlp, params0, _ = convert_state_dict(sd, reconstruction=False)
+    params = serialization.from_bytes(params0, payload["params"])
+    x = np.random.RandomState(2).randn(9, D).astype(np.float32)
+    with torch.no_grad():
+        ref = torch.sigmoid(layers(torch.from_numpy(x)))
+    ours = mlp.apply(params, jnp.asarray(x))
+    assert ours.shape == (9, 1)
+    assert np.max(np.abs(np.asarray(ours) - ref.numpy())) < 1e-5

@@ -21,6 +21,7 @@ TPU design choices:
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass
 from typing import Optional
 
@@ -116,7 +117,11 @@ class Attention(nn.Module):
             impl = "flash" if (B * H >= 48 and N >= 512) else "xla_bf16"
             if (B, H, N) not in _AUTO_RESOLVED_LOGGED:  # trace-time, once per shape
                 _AUTO_RESOLVED_LOGGED.add((B, H, N))
-                print(f"[vit] attention auto(B={B}, heads={H}, S={N}) -> {impl}")
+                # stderr: stdout belongs to callers (bench.py's
+                # one-JSON-line contract); traced shapes are few, so
+                # the memo set stays small for any real deployment
+                print(f"[vit] attention auto(B={B}, heads={H}, S={N}) -> {impl}",
+                      file=sys.stderr)
         if impl == "flash_interpret":
             out = flash_attention(q, k, v, sm_scale=scale, interpret=True)
         elif impl.startswith("flash"):

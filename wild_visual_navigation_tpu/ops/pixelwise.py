@@ -47,11 +47,14 @@ def _dense_layers(mlp_params: dict):
 
 def supports_optimized(mlp) -> bool:
     """The restructured scorer assumes the SimpleMLP layout (anonymous
-    Dense_i stack, [1-channel sigmoid trav || reconstruction] output)."""
+    Dense_i stack, [1-channel sigmoid trav || reconstruction] output)
+    with at least two Dense layers — a depth-1 head would alias
+    layers[0] and layers[-1] in the Dense_0-commutes restructuring."""
     return (
         type(mlp).__name__ == "SimpleMLP"
         and getattr(mlp, "reconstruction", False)
         and getattr(mlp, "nr_sigmoid_layers", None) == 1
+        and len(getattr(mlp, "hidden_sizes", ())) >= 2
     )
 
 

@@ -81,12 +81,11 @@ def _row_tables(out_size: int, in_size: int):
     Aq, Ax = _bilinear_pair_matrices_np(out_size, in_size)
     Axp = np.zeros((out_size, in_size), np.float32)
     Axp[:, : max(in_size - 1, 0)] = Ax
-    if out_size == 1:
-        f = np.zeros((1,), np.float64)
-    else:
-        f = np.arange(out_size, dtype=np.float64) * ((in_size - 1) / (out_size - 1))
-    i0 = np.clip(np.floor(f).astype(np.int64), 0, in_size - 1)
-    starts = np.minimum(i0, in_size - 2).astype(np.int32)
+    # tap positions come from M itself (first nonzero column per row,
+    # clamped so start+1 stays in range), NOT a re-derivation of the
+    # interpolation rule — if resize.py ever changes its tap/clamping
+    # convention, these tables follow automatically
+    starts = np.minimum(np.argmax(M > 0, axis=1), in_size - 2).astype(np.int32)
     rows = np.arange(out_size)
     coef = np.zeros((out_size, 8), np.float32)
     coef[:, 0] = M[rows, starts]

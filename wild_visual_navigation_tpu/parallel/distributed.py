@@ -128,7 +128,17 @@ class DistributedTrainer:
         import jax.numpy as jnp
 
         est = self._est
-        idx = est.sample_batch_indices()
+        # mirror estimator.train()'s amortized resolve cadence: the
+        # pending-supervision resolution is a device-queue-draining D2H
+        # readback, so pay it every supervision_resolve_every steps (or
+        # while too few nodes are valid), not on every collective step
+        est._train_calls += 1
+        if (
+            est._train_calls % est._resolve_every == 0
+            or est._mission_graph.get_num_valid_nodes() <= est._min_samples_for_training
+        ):
+            est._resolve_pending_supervision()
+        idx = est._sample_indices()
         ready = (
             idx is not None
             and est._mission_graph.get_num_valid_nodes() > est._min_samples_for_training

@@ -804,10 +804,22 @@ class WVNRuntime:
         — a per-step readback stalls the 10 Hz loop on D2H latency;
         SystemState carries the last read values in between."""
         log_every = max(1, int(self.ln_params.learning_thread_rate / max(self.ln_params.logging_thread_rate, 1e-9)))
-        convert = (self.estimator.step % log_every) == 0
+        dist = getattr(self, "_dist_trainer", None)
+        # cadence must follow the counter that actually advances per tick:
+        # estimator.step is frozen between hot swaps in distributed mode
+        tick = dist.step_count if dist is not None else self.estimator.step
+        convert = (tick % log_every) == 0
         try:
-            if getattr(self, "_dist_trainer", None) is not None:
-                res = self._dist_trainer.step()
+            if dist is not None:
+                if self.estimator.pause_learning:
+                    # the reference's PauseLearning service must bind in
+                    # every mode. dist.step() is a collective: pause is
+                    # per-process, so an operator pauses every rank
+                    # (same as stopping the learning thread per node in
+                    # the reference's two-process deployment)
+                    res = {"pause": True}
+                else:
+                    res = dist.step()
                 res.setdefault("mission_graph_num_valid_node",
                                self.estimator._mission_graph.get_num_valid_nodes())
             else:
