@@ -119,23 +119,37 @@ def test_rectangular_dino_config_uses_fused_path():
     assert np.max(np.abs(results[True] - results[False])) < 0.05
 
 
-def test_rectangular_stego_config_falls_back():
-    """The stego fused builder is still square-built: a W != H stego
-    config warns and uses the composed path with rectangular maps."""
+def test_rectangular_stego_config():
+    """Patch-aligned W != H stego configs run fused with rectangular
+    maps; a misaligned rectangle warns and falls back to the composed
+    path (no square crop hides the misalignment)."""
     from wild_visual_navigation_tpu.cfg import FeatureExtractorNodeParams
     from wild_visual_navigation_tpu.runtime import WVNRuntime
 
-    fp = FeatureExtractorNodeParams(
-        network_input_image_height=16,
-        network_input_image_width=24,
-        segmentation_type="stego",
-        feature_type="stego",
-        prediction_per_pixel=False,
-        camera_topics={"cam": {"use_for_training": True}},
+    def params(width):
+        return FeatureExtractorNodeParams(
+            network_input_image_height=16,
+            network_input_image_width=width,
+            segmentation_type="stego",
+            feature_type="stego",
+            prediction_per_pixel=False,
+            camera_topics={"cam": {"use_for_training": True}},
+        )
+
+    rt = WVNRuntime(fe_params=params(24), use_fused=True)  # 24 % 8 == 0
+    assert rt._fused_frame is not None
+    img = np.random.RandomState(0).rand(3, 16, 24).astype(np.float32)
+    K = np.array([[10.0, 0, 12], [0, 10.0, 8], [0, 0, 1]])
+    res = rt.image_callback(
+        img, stamp=1.0, camera="cam", K=K, orig_h=16, orig_w=24,
+        pose_base_in_world=np.eye(4), pose_cam_in_base=np.eye(4),
     )
-    with pytest.warns(UserWarning, match="square"):
-        rt = WVNRuntime(fe_params=fp, use_fused=True)
-    assert rt._fused_frame is None
+    assert res.traversability.shape == (16, 24)
+    assert bool(jnp.all(jnp.isfinite(res.traversability)))
+
+    with pytest.warns(UserWarning, match="patch-aligned"):
+        rt2 = WVNRuntime(fe_params=params(20), use_fused=True)  # 20 % 8 != 0
+    assert rt2._fused_frame is None
 
 
 def test_image_batch_callback_matches_sequential():

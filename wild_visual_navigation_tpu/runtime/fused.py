@@ -262,6 +262,7 @@ def build_fused_stego_frame_fn(
     max_edges: int = 1024,
     prediction_per_pixel: bool = True,
     jit_compile: bool = True,
+    input_width: int | None = None,
 ):
     """Fused STEGO production path (VERDICT r1 weak #7): ONE program for
     image -> resize/normalize -> ViT-B/8 -> STEGO code head -> per-image
@@ -279,10 +280,18 @@ def build_fused_stego_frame_fn(
 
     from ..feature_extractor.stego import cosine_kmeans
 
-    H = W = input_size
+    H = input_size
+    W = input_width or input_size
     S = stego._n_image_clusters
     vit = stego.vit
     head = stego.head
+    if W != H:
+        ps = vit.cfg.patch_size
+        if H % ps or W % ps:
+            raise ValueError(
+                f"rectangular fused stego config must be patch-aligned: "
+                f"{H}x{W} with patch {ps}"
+            )
 
     def tail(mlp_params, cg_state, code, hp, wp):
         """Per-image tail from the (N, 90) STEGO code: k-means
@@ -335,8 +344,11 @@ def build_fused_stego_frame_fn(
 
     def _backbone(bparams, hparams, img):
         """(B, 3, ?, ?) float images -> ((B, N, 90) codes, grid)."""
-        x = resize_smaller_edge_nearest(img, H)
-        x = center_crop(x, H)
+        if W == H:
+            x = resize_smaller_edge_nearest(img, H)
+            x = center_crop(x, H)
+        else:
+            x = resize_image(img, H, W)
         xn = imagenet_normalize(x)
         out = vit.apply(bparams, xn)
         res = head.apply(hparams, out["patch_tokens"])
@@ -385,6 +397,7 @@ def build_fused_torchvision_frame_fn(
     cell_size: int = 32,
     max_edges: int = 1024,
     jit_compile: bool = True,
+    input_width: int | None = None,
 ):
     """Fused CNN-pyramid path: image -> resize/normalize -> resnet/
     efficientnet feature pyramid -> SLIC/grid segmentation -> multiscale
@@ -396,7 +409,8 @@ def build_fused_torchvision_frame_fn(
 
     Returns fn(tv_params, mlp_params, cg_state, img) -> FrameResult.
     """
-    H = W = input_size
+    H = input_size
+    W = input_width or input_size
     S = num_segments
     model = tvi.model
 
@@ -428,8 +442,11 @@ def build_fused_torchvision_frame_fn(
         )
 
     def _backbone(tv_params, img):
-        x = resize_smaller_edge_nearest(img, H)
-        x = center_crop(x, H)
+        if W == H:
+            x = resize_smaller_edge_nearest(img, H)
+            x = center_crop(x, H)
+        else:
+            x = resize_image(img, H, W)
         xn = imagenet_normalize(x)
         return model.apply(tv_params, xn), x  # {name: (B, C_i, H_i, W_i)}, (B, 3, H, W)
 
