@@ -118,6 +118,29 @@ def test_rectangular_dino_config_uses_fused_path():
     # same features, same head — equal to the restructuring tolerance
     assert np.max(np.abs(results[True] - results[False])) < 0.05
 
+    # misaligned rectangle (160 % 14 != 0): warns, falls back, and the
+    # composed path still delivers full-rect maps (the ViT sees the
+    # reference's square crop; features upsample to (H, W))
+    fp_mis = FeatureExtractorNodeParams(
+        network_input_image_height=112,
+        network_input_image_width=160,
+        segmentation_type="grid",
+        feature_type="dinov2",
+        dino_backbone="vit_small",
+        dino_patch_size=14,
+        camera_topics={"cam": {"use_for_training": True}},
+    )
+    with pytest.warns(UserWarning, match="patch-aligned"):
+        rt_mis = WVNRuntime(fe_params=fp_mis, use_fused=True, key=jax.random.PRNGKey(0))
+    assert rt_mis._fused_frame is None
+    img_mis = np.random.RandomState(1).rand(3, 112, 160).astype(np.float32)
+    res_mis = rt_mis.image_callback(
+        img_mis, stamp=1.0, camera="cam", K=K, orig_h=112, orig_w=160,
+        pose_base_in_world=np.eye(4), pose_cam_in_base=np.eye(4),
+    )
+    assert res_mis.traversability.shape == (112, 160)
+    assert bool(jnp.all(jnp.isfinite(res_mis.traversability)))
+
 
 def test_rectangular_stego_config():
     """Patch-aligned W != H stego configs run fused with rectangular
@@ -150,6 +173,15 @@ def test_rectangular_stego_config():
     with pytest.warns(UserWarning, match="patch-aligned"):
         rt2 = WVNRuntime(fe_params=params(20), use_fused=True)  # 20 % 8 != 0
     assert rt2._fused_frame is None
+    # and the composed fallback really serves the rectangle (the stego
+    # code/cluster maps upsample to the full (H, W) input shape)
+    img2 = np.random.RandomState(1).rand(3, 16, 20).astype(np.float32)
+    res2 = rt2.image_callback(
+        img2, stamp=1.0, camera="cam", K=K, orig_h=16, orig_w=20,
+        pose_base_in_world=np.eye(4), pose_cam_in_base=np.eye(4),
+    )
+    assert res2.traversability.shape == (16, 20)
+    assert bool(jnp.all(jnp.isfinite(res2.traversability)))
 
 
 def test_image_batch_callback_matches_sequential():

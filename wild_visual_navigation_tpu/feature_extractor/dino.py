@@ -111,14 +111,14 @@ class DinoInterface:
         return self._patch_size
 
     def inference(self, img: jnp.ndarray) -> jnp.ndarray:
-        """img: (B, 3, H, W) RGB in [0, 1] -> dense features,
-        bilinearly upsampled to pixels exactly like the reference
-        (dino_interface.py:87-91 upsamples to (H, H)). Square inputs
-        return (B, D, H, H) as before; a rectangular input already at
-        network size (smaller edge == input_size, patch-aligned)
-        returns (B, D, H, W) over the full frame."""
+        """img: (B, 3, H, W) RGB in [0, 1] -> (B, D, H, W) dense
+        features, bilinearly upsampled to the input shape exactly like
+        the reference (dino_interface.py:87-91 interpolates back to
+        its input). A rectangular input already at network size
+        (smaller edge == input_size, patch-aligned) feeds the ViT the
+        full frame; otherwise the ViT sees the resize+square-crop
+        (reference transform semantics) and the upsample still targets
+        the full (H, W) — so rectangular callers always get maps at
+        their input shape."""
         H, W = img.shape[2], img.shape[3]
-        ps = self._patch_size
-        if min(H, W) == self._input_size and H % ps == 0 and W % ps == 0:
-            return self._infer(self.params, img, H, W)
-        return self._infer(self.params, img, H, H)
+        return self._infer(self.params, img, H, W)

@@ -102,19 +102,23 @@ class StegoInterface:
         return self._input_size
 
     def inference(self, img: jnp.ndarray, key: Optional[jax.Array] = None):
-        """img: (B, 3, H, W) in [0,1]. Populates .features (B, 90, H, H),
-        .cluster_segments (B, H, H), .linear_segments (B, H, H) and
-        returns (features, cluster_segments)."""
+        """img: (B, 3, H, W) in [0,1]. Populates .features (B, 90, H, W),
+        .cluster_segments (B, H, W), .linear_segments (B, H, W) and
+        returns (features, cluster_segments). The ViT sees the square
+        center crop (reference stego_interface semantics); code and
+        segmentation maps are upsampled to the full (H, W) input shape
+        — the reference likewise interpolates back to its input
+        (dino_interface.py:87-91 pattern)."""
         if key is None:
             key = jax.random.PRNGKey(0)
-        H = img.shape[2]
+        H, W = img.shape[2], img.shape[3]
         code, cluster, linear = self._infer_fn(
             self.backbone_params,
             self.head_params,
             img,
             key,
             out_h=H,
-            out_w=H,
+            out_w=W,
             n_clusters=self._n_image_clusters,
             run_clustering=self._run_clustering,
         )
@@ -123,9 +127,11 @@ class StegoInterface:
             # the (resized, square-cropped) guide image — the reference's
             # run_crf option (stego_interface.py:31-39).
             from ..ops.crf import crf_refine_labels
-            from ..ops.resize import center_crop, resize_smaller_edge_nearest
+            from ..ops.resize import resize_image
 
-            guide_full = center_crop(resize_smaller_edge_nearest(img, H), H)
+            # guide at the output shape: square targets keep the
+            # resize+center-crop semantics, rectangles resize directly
+            guide_full = resize_image(img, H, W)
 
             def refine(pred, n_cls):
                 return jnp.stack([

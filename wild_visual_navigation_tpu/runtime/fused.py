@@ -25,12 +25,10 @@ import jax.numpy as jnp
 from ..models.vit import dense_features
 from ..ops import segment_ops
 from ..ops.resize import (
-    center_crop,
     imagenet_normalize,
     interpolate_bilinear,
     interpolate_bilinear_mxu,
     resize_image,
-    resize_smaller_edge_nearest,
 )
 from ..ops.pixelwise import pixelwise_map_rows_chunked, pixelwise_score
 from ..ops.pixelwise import supports_optimized as pixelwise_supports
@@ -114,9 +112,8 @@ def build_fused_frame_fn(
     S = num_segments
 
     def _preprocess(img):
-        if W == H:
-            x = resize_smaller_edge_nearest(img, H)
-            return center_crop(x, H)
+        # resize_image: square targets keep the reference's
+        # resize-smaller-edge + center-crop; rectangles resize directly
         return resize_image(img, H, W)
 
     def tail(mlp_params, cg_state, feat, x):
@@ -344,11 +341,7 @@ def build_fused_stego_frame_fn(
 
     def _backbone(bparams, hparams, img):
         """(B, 3, ?, ?) float images -> ((B, N, 90) codes, grid)."""
-        if W == H:
-            x = resize_smaller_edge_nearest(img, H)
-            x = center_crop(x, H)
-        else:
-            x = resize_image(img, H, W)
+        x = resize_image(img, H, W)
         xn = imagenet_normalize(x)
         out = vit.apply(bparams, xn)
         res = head.apply(hparams, out["patch_tokens"])
@@ -442,11 +435,7 @@ def build_fused_torchvision_frame_fn(
         )
 
     def _backbone(tv_params, img):
-        if W == H:
-            x = resize_smaller_edge_nearest(img, H)
-            x = center_crop(x, H)
-        else:
-            x = resize_image(img, H, W)
+        x = resize_image(img, H, W)
         xn = imagenet_normalize(x)
         return model.apply(tv_params, xn), x  # {name: (B, C_i, H_i, W_i)}, (B, 3, H, W)
 

@@ -272,10 +272,13 @@ class WVNRuntime:
             # path, which resizes to (H, W) exactly (a rectangular
             # config silently returning square maps was VERDICT-r2
             # weak #7).
+            # same patch-size source as the builders' own check
+            # (fused.py raises ValueError on misalignment) so the two
+            # can't drift — here we warn and fall back instead
             ps = 1
-            if _dino_fusable:
-                ps = fp.dino_patch_size
-            elif fp.feature_type == "stego" and fp.segmentation_type == "stego":
+            if _dino_fusable or (
+                fp.feature_type == "stego" and fp.segmentation_type == "stego"
+            ):
                 ps = self.feature_extractor._extractor.vit.cfg.patch_size
             if self._H % ps or self._W % ps:
                 import warnings
