@@ -111,14 +111,19 @@ class DinoInterface:
         return self._patch_size
 
     def inference(self, img: jnp.ndarray) -> jnp.ndarray:
-        """img: (B, 3, H, W) RGB in [0, 1] -> (B, D, H, W) dense
-        features, bilinearly upsampled to the input shape exactly like
-        the reference (dino_interface.py:87-91 interpolates back to
-        its input). A rectangular input already at network size
-        (smaller edge == input_size, patch-aligned) feeds the ViT the
-        full frame; otherwise the ViT sees the resize+square-crop
-        (reference transform semantics) and the upsample still targets
-        the full (H, W) — so rectangular callers always get maps at
-        their input shape."""
+        """img: (B, 3, H, W) RGB in [0, 1] -> dense features.
+
+        Raw images keep the reference's exact semantics: upsample to
+        the SQUARE (H, H) (dino_interface.py:87-91 sets
+        new_features_size = (H, H) even for wide inputs — the W pad is
+        commented out there). An input already at NETWORK size
+        (smaller edge == input_size — i.e. the runtime resized it)
+        returns (B, D, H, W) over the full shape instead: patch-aligned
+        rectangles feed the ViT the full frame; misaligned ones see
+        the reference's resize+square-crop but still upsample to
+        (H, W), so rectangular network configs get maps at their
+        configured shape rather than a silent square."""
         H, W = img.shape[2], img.shape[3]
-        return self._infer(self.params, img, H, W)
+        if min(H, W) == self._input_size:
+            return self._infer(self.params, img, H, W)
+        return self._infer(self.params, img, H, H)

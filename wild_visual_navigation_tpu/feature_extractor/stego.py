@@ -105,13 +105,17 @@ class StegoInterface:
         """img: (B, 3, H, W) in [0,1]. Populates .features (B, 90, H, W),
         .cluster_segments (B, H, W), .linear_segments (B, H, W) and
         returns (features, cluster_segments). The ViT sees the square
-        center crop (reference stego_interface semantics); code and
-        segmentation maps are upsampled to the full (H, W) input shape
-        — the reference likewise interpolates back to its input
-        (dino_interface.py:87-91 pattern)."""
+        center crop (reference stego_interface semantics). Raw images
+        keep the reference's square (H, H) output
+        (stego_interface.py:104-105 sets new_features_size = (H, H));
+        inputs already at NETWORK size (smaller edge == input_size)
+        upsample to the full (H, W) so rectangular network configs get
+        maps at their configured shape."""
         if key is None:
             key = jax.random.PRNGKey(0)
         H, W = img.shape[2], img.shape[3]
+        if min(H, W) != self._input_size:
+            W = H  # reference raw-image semantics: square maps
         code, cluster, linear = self._infer_fn(
             self.backbone_params,
             self.head_params,
