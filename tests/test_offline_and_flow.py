@@ -152,6 +152,17 @@ def test_online_export_feeds_offline_trainer(tmp_path):
     train = GraphTravDataset.from_folder(export, mode="train")
     assert len(train) >= 4, "online session exported too few valid nodes"
     D = train.features.shape[-1]
+    # the export carries feat_valid so offline sample masking matches
+    # the online trainer (padded segment rows must not enter the loss)
+    import glob
+
+    import numpy as _np
+
+    files = sorted(glob.glob(os.path.join(export, "graph_*.npz")))
+    d0 = _np.load(files[0])
+    assert "feat_valid" in d0.files
+    if not bool(d0["feat_valid"].all()):
+        assert not bool(train.sample_valid.all())
 
     cfg = OfflineTrainerConfig(
         model_cfg={"name": "SimpleMLP",

@@ -338,3 +338,58 @@ def test_supervision_generator_pose_prediction_mode():
             velocities=["vx", "vy"],
         )
     assert trav < 0.3
+
+
+def test_max_elements_graph_never_evicts_the_new_node():
+    """With keep_fn sparing every EXISTING node, the node being added
+    must survive too (allocate_slot assigns its buffer slot only after
+    add_node — evicting it would orphan the slot)."""
+    g = MaxElementsGraph(edge_distance=0.0, max_elements=3, keep_fn=lambda n: True)
+    nodes = [_node(float(i), i * 1.0) for i in range(5)]
+    for n in nodes:
+        g.add_node(n)
+    got = g.get_nodes()
+    assert nodes[-1] in got  # identity membership (eq=False)
+
+
+def test_nodes_with_equal_timestamps_are_distinct_and_hashable():
+    """Synced camera rigs produce nodes with identical timestamps: the
+    dataclass must not compare numpy pose fields (ValueError) and must
+    stay hashable for graph/dict keying (eq=False semantics)."""
+    a = _node(1.0, 0.0)
+    b = _node(1.0, 5.0)
+    assert a != b and a == a
+    assert len({a, b}) == 2
+    g = BaseGraph(edge_distance=0.0)
+    g.add_node(a)
+    g.add_node(b)
+    assert g.get_previous_node(g.get_last_node()) is a
+
+
+def test_estimator_reset_clears_optimizer_and_vis_state():
+    """reset() must not leak the previous mission's Adam moments, loss
+    readout, or a vis node whose buffer slot was wiped."""
+    est = _make_estimator()
+    key = jax.random.PRNGKey(0)
+    for i, x in enumerate(np.linspace(0, 1.0, 5)):
+        _add_mission(est, float(i), float(x), jax.random.fold_in(key, i))
+    for i, x in enumerate(np.linspace(0, 1.0, 6)):
+        est.add_supervision_node(SupervisionNode(
+            timestamp=float(i) + 0.5, pose_base_in_world=_pose(float(x)),
+            width=0.4, length=0.4, height=0.3,
+            twist_in_base=np.array([1.0, 0, 0]),
+            desired_twist_in_base=np.array([1.0, 0, 0]),
+            traversability=0.9, traversability_var=1.0, is_untraversable=False,
+        ))
+    for _ in range(3):
+        est.train()
+    assert est.step > 0
+    est.reset()
+    assert est.step == 0
+    assert est._loss == float("inf")
+    assert est._vis_mission_node is None
+    assert est._mission_graph.get_first_node() is None
+    # Adam moments reinitialized to zeros
+    mu_after = jax.tree_util.tree_leaves(est._opt_state)
+    assert all(float(jnp.abs(jnp.asarray(m)).max()) == 0.0
+               for m in mu_after if hasattr(m, "shape") and getattr(m, "size", 0) > 1)

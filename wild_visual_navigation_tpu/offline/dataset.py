@@ -35,15 +35,22 @@ class GraphTravDataset:
         files = sorted(glob.glob(os.path.join(folder, "graph_*.npz")))
         if not files:
             raise FileNotFoundError(f"no graph_*.npz exports under {folder}")
-        feats, sig, sv = [], [], []
+        feats, sig, sv, fv = [], [], [], []
         for f in files:
             d = np.load(f)
             feats.append(d["features"])
             sig.append(d["signal"])
             sv.append(d["signal_valid"])
+            # feat_valid marks real segment rows vs zero padding; the
+            # online trainer masks samples with it (estimator
+            # _train_step sample_valid) — older exports lack it, fall
+            # back to all-valid
+            fv.append(d["feat_valid"] if "feat_valid" in d.files
+                      else np.ones_like(d["signal_valid"], dtype=bool))
         features = np.stack(feats)
         signal = np.stack(sig)
         signal_valid = np.stack(sv)
+        feat_valid = np.stack(fv)
         n = len(files)
         cut = int(n * percentage)
         if shuffle_seed is not None:
@@ -55,7 +62,7 @@ class GraphTravDataset:
             features=features[sl],
             signal=signal[sl],
             signal_valid=signal_valid[sl],
-            sample_valid=np.ones_like(signal_valid[sl], dtype=bool),
+            sample_valid=feat_valid[sl],
         )
 
     def __len__(self) -> int:

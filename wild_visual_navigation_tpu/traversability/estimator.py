@@ -156,14 +156,12 @@ class TraversabilityEstimator:
         # Model + optimizer + loss (reference :80-100)
         self._model = get_model(model_cfg)
         rng = jax.random.PRNGKey(seed)
+        self._params = self._model.init(rng, jnp.zeros((1, feature_dim)))
         if anomaly_detection:
-            self._params = self._model.init(rng, jnp.zeros((1, feature_dim)))
             self._loss_cfg = anomaly_loss_cfg or AnomalyLossConfig()
-            self._cg_cfg: ConfidenceConfig = self._loss_cfg.confidence
         else:
-            self._params = self._model.init(rng, jnp.zeros((1, feature_dim)))
             self._loss_cfg = loss_cfg or TraversabilityLossConfig()
-            self._cg_cfg = self._loss_cfg.confidence
+        self._cg_cfg: ConfidenceConfig = self._loss_cfg.confidence
         self._lr = lr
         self._tx = optax.adam(lr)
         self._opt_state = self._tx.init(self._params)
@@ -218,6 +216,13 @@ class TraversabilityEstimator:
             )
             for (_, _, _, nodes), c in zip(pending, counts):
                 self._pending_supervision.append((nodes, c))
+        # Bound the queue: while learning is paused (the only path that
+        # resolves on cadence stops running) supervision keeps arriving
+        # at 10-20 Hz — an unbounded list leaks device count arrays and
+        # pins evicted nodes for hours. Resolve outside the lock once
+        # the backlog is real.
+        if len(self._pending_supervision) >= 64:
+            self._resolve_pending_supervision()
 
     def _resolve_pending_supervision(self):
         """Batched readback of deferred supervision counts -> node
@@ -561,7 +566,12 @@ class TraversabilityEstimator:
         os.makedirs(os.path.join(self._extraction_store_folder, "supervision_mask"), exist_ok=True)
         masks = np.asarray(self._buffer.supervision_mask)
         for n in mission_nodes:
-            store = np.isfinite(masks[n.buffer_slot])
+            # reference traversability_estimator.py:295-297 exports
+            # torch.nan_to_num(mask.nanmean(0)) != 0: unset pixels
+            # (NaN there, non-finite sentinel here) AND fused
+            # zero-traversability pixels both store False
+            m = masks[n.buffer_slot]
+            store = np.isfinite(m) & (m != 0)
             path = os.path.join(
                 self._extraction_store_folder, "supervision_mask", str(n.timestamp).replace(".", "_") + ".npy"
             )
@@ -641,7 +651,6 @@ class TraversabilityEstimator:
                 return_dict["loss_trav"] = float(aux["loss_trav"])
                 return_dict["loss_reco"] = float(aux["loss_reco"])
             else:
-                self._loss_dev = loss
                 return_dict["loss_total"] = loss
                 return_dict["loss_trav"] = aux["loss_trav"]
                 return_dict["loss_reco"] = aux["loss_reco"]
@@ -740,10 +749,14 @@ class TraversabilityEstimator:
     def save_graph(self, mission_path: str):
         """Mission-graph dataset export for offline training (reference
         :347-375): per-node features / signals / masks as npz."""
+        # resolve queued supervision first (like __getstate__): nodes
+        # supervised after the last amortized resolve are otherwise
+        # still flagged invalid and silently missing from the export
+        self._resolve_pending_supervision()
         with self._lock:
-            self.flush_supervision()
             buf = self._buffer
             feats, sig, sv = np.asarray(buf.features), np.asarray(buf.signal), np.asarray(buf.signal_valid)
+            fv = np.asarray(buf.feat_valid)
             seg = np.asarray(buf.seg)
         os.makedirs(mission_path, exist_ok=True)
         for node in self._mission_graph.get_valid_nodes():
@@ -752,7 +765,8 @@ class TraversabilityEstimator:
                 continue
             p = os.path.join(mission_path, f"graph_{str(node.timestamp).replace('.', '_')}.npz")
             np.savez_compressed(
-                p, features=feats[s], signal=sig[s], signal_valid=sv[s], segments=seg[s]
+                p, features=feats[s], signal=sig[s], signal_valid=sv[s], segments=seg[s],
+                feat_valid=fv[s],
             )
 
     def reset(self):
@@ -766,6 +780,13 @@ class TraversabilityEstimator:
             self._next_slot = 0
             self._cg_state = confidence_init()
             self._step = 0
+            # a fresh mission must not inherit the previous one's Adam
+            # moments, loss readout, resolve cadence, or a vis node
+            # whose buffer slot was just wiped
+            self._opt_state = self._tx.init(self._params)
+            self._loss = float("inf")
+            self._train_calls = 0
+            self._vis_mission_node = None
 
     # ------------------------------------------------- whole-object pickle
     # (reference traversability_estimator.py:318-345 pickles the entire

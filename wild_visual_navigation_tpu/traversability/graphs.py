@@ -100,6 +100,7 @@ class BaseGraph:
             self._nodes = []
             self._poses = np.zeros((_INITIAL_CAPACITY, 4, 4))
             self._stamps = np.zeros((_INITIAL_CAPACITY,))
+            self._first_node = None  # else get_first_node outlives the clear
 
     def remove_nodes(self, nodes: List[BaseNode]):
         with self._lock:
@@ -207,7 +208,11 @@ class MaxElementsGraph(BaseGraph):
         overflow = n - self._max_elements
         keep = np.ones(n, dtype=bool)
         dropped = 0
-        for i in range(n):
+        # never consider the node being inserted (index n-1): the caller
+        # (estimator.allocate_slot) assigns its buffer slot only AFTER
+        # add_node, so keep_fn would see buffer_slot == -1 and evict it
+        # — leaving an orphan slot the graph (and sampling) never sees
+        for i in range(n - 1):
             if dropped >= overflow:
                 break
             if self._keep_fn is None or not self._keep_fn(self._nodes[i]):

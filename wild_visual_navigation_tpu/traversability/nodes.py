@@ -130,9 +130,15 @@ def se3_trans_dist_batch_np(T0: np.ndarray, Ts: np.ndarray) -> np.ndarray:
     return np.linalg.norm(rho, axis=-1)
 
 
-@dataclass
+@dataclass(eq=False)
 class BaseNode:
-    """reference nodes.py:21-114."""
+    """reference nodes.py:21-114.
+
+    eq=False: identity equality + default hashing. The generated
+    field-tuple __eq__ would compare numpy pose arrays (ambiguous
+    truth value -> ValueError for distinct nodes with equal
+    timestamps, e.g. a synced camera rig) and set __hash__ = None,
+    making nodes unusable as graph/dict keys."""
 
     timestamp: float = 0.0
     pose_base_in_world: np.ndarray = field(default_factory=lambda: np.eye(4, dtype=np.float64))
@@ -154,7 +160,7 @@ class BaseNode:
         return pose_distance_np(self.pose_base_in_world, other.pose_base_in_world)
 
 
-@dataclass
+@dataclass(eq=False)
 class MissionNode(BaseNode):
     """Camera frame node (reference nodes.py:116-440). The heavy
     per-frame tensors are stored in the estimator's device ring buffer;
@@ -180,7 +186,7 @@ class MissionNode(BaseNode):
         return self._has_supervision
 
 
-@dataclass
+@dataclass(eq=False)
 class SupervisionNode(BaseNode):
     """Proprioception node (reference nodes.py:443-618)."""
 
@@ -247,7 +253,7 @@ class SupervisionNode(BaseNode):
             self.traversability_var = traversability_var
 
 
-@dataclass
+@dataclass(eq=False)
 class TwistNode(BaseNode):
     """reference nodes.py:620-664."""
 
