@@ -4,6 +4,7 @@ references (SegmentExtractor + sparsify_features semantics)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from wild_visual_navigation_tpu.ops import segment_ops
 
@@ -92,3 +93,21 @@ def test_pixelwise_edges():
     edges = segment_ops.pixelwise_edges(2, 2)
     pairs = {tuple(p) for p in np.asarray(edges).T.tolist()}
     assert (0, 1) in pairs and (2, 3) in pairs and (0, 2) in pairs and (1, 3) in pairs
+
+
+def test_adjacency_list_all_boundary_checkerboard():
+    """When EVERY 4-neighbor pair is a boundary (checkerboard), no -1
+    key exists in the data — the dedup must still keep every real edge
+    (a fill-at-the-end jnp.unique would have dropped the smallest)."""
+    seg = (jnp.indices((4, 4)).sum(0) % 2).astype(jnp.int32)  # 2-color checkerboard
+    edges, valid = segment_ops.adjacency_list(seg, 2, max_edges=8)
+    got = {tuple(e) for e in np.asarray(edges).T[np.asarray(valid)]}
+    assert got == {(0, 1), (1, 0)}  # both directions, nothing lost
+
+
+def test_adjacency_list_rejects_pixelwise_scale():
+    """The int32 pair hash caps at ~46k segments; beyond that it must
+    refuse loudly instead of silently wrapping keys negative."""
+    seg = jnp.zeros((4, 4), jnp.int32)
+    with pytest.raises(ValueError, match="46339"):
+        segment_ops.adjacency_list(seg, 50176, max_edges=8)

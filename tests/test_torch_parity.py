@@ -306,9 +306,9 @@ def test_full_pipeline_golden_matches_torch():
     std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
     h, w = timg.shape[-2:]
     if h <= w:
-        new_h, new_w = size, max(1, round(size * w / h))
+        new_h, new_w = size, max(1, int(size * w / h))
     else:
-        new_h, new_w = max(1, round(size * h / w)), size
+        new_h, new_w = max(1, int(size * h / w)), size
     Himg = timg.shape[-2]  # reference upsamples features to the IMAGE height
     with torch.no_grad():
         x = F.interpolate(timg, size=(new_h, new_w), mode="nearest")

@@ -55,8 +55,14 @@ def _lk_level(prev: jnp.ndarray, nxt: jnp.ndarray, pts: jnp.ndarray, flow: jnp.n
     dy = jnp.arange(window, dtype=jnp.float32) - half
     oy, ox = jnp.meshgrid(dy, dy, indexing="ij")  # (w, w)
 
-    gx_img = (jnp.roll(prev, -1, 1) - jnp.roll(prev, 1, 1)) * 0.5
-    gy_img = (jnp.roll(prev, -1, 0) - jnp.roll(prev, 1, 0)) * 0.5
+    # central differences with REPLICATED borders (OpenCV's
+    # BORDER_REFLECT_101-family behavior for calcOpticalFlowPyrLK);
+    # jnp.roll would wrap the opposite image edge into the structure
+    # tensor for points within window/2 of a border
+    pad_x = jnp.pad(prev, ((0, 0), (1, 1)), mode="edge")
+    pad_y = jnp.pad(prev, ((1, 1), (0, 0)), mode="edge")
+    gx_img = (pad_x[:, 2:] - pad_x[:, :-2]) * 0.5
+    gy_img = (pad_y[2:, :] - pad_y[:-2, :]) * 0.5
 
     def track_one(pt, f0):
         px, py = pt[0], pt[1]

@@ -208,7 +208,12 @@ def pixelwise_map_rows_chunked(score_fn, feat, out_h: int, out_w: int,
 
     from .resize import _bilinear_matrix_np
 
-    _, D, Hp, Wp = feat.shape
+    B, D, Hp, Wp = feat.shape
+    if B != 1:
+        raise ValueError(
+            f"pixelwise_map_rows_chunked scores one image (got batch {B}); "
+            f"vmap over the batch axis instead"
+        )
     rows = max(1, min(out_h, target_rows))
     n_chunks = -(-out_h // rows)
     pad = n_chunks * rows - out_h

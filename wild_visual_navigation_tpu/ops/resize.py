@@ -36,12 +36,15 @@ def resize_nearest(img: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
 
 def resize_smaller_edge_nearest(img: jnp.ndarray, size: int) -> jnp.ndarray:
     """torchvision `Resize(size)` semantics: scale the smaller edge to
-    `size`, keeping aspect ratio (nearest interpolation)."""
+    `size`, keeping aspect ratio (nearest interpolation). The long edge
+    TRUNCATES like torchvision's `int(size * long / short)` — round()
+    diverges by one column at e.g. 1080x1440 @224 (298.67 -> 299 vs
+    torchvision's 298), shifting the center-crop window."""
     h, w = img.shape[-2], img.shape[-1]
     if h <= w:
-        new_h, new_w = size, max(1, round(size * w / h))
+        new_h, new_w = size, max(1, int(size * w / h))
     else:
-        new_h, new_w = max(1, round(size * h / w)), size
+        new_h, new_w = max(1, int(size * h / w)), size
     return resize_nearest(img, new_h, new_w)
 
 

@@ -158,6 +158,15 @@ def adjacency_list(seg: jnp.ndarray, num_segments: int, max_edges: int = 512):
     """
     s = seg.astype(jnp.int32)
     div = num_segments + 1
+    if div * div > jnp.iinfo(jnp.int32).max:
+        # the int32 pair hash a + b*div needs div^2 <= 2^31; beyond
+        # ~46k segments (e.g. pixelwise ids) keys would wrap negative
+        # and silently vanish behind the valid mask
+        raise ValueError(
+            f"adjacency_list supports at most 46339 segments (got "
+            f"{num_segments}); pixelwise segmentation has no segment "
+            f"adjacency — use ops.segment_ops.pixelwise_edges"
+        )
 
     # Horizontal neighbors: (s[y, x], s[y, x+1]) where they differ.
     a_h, b_h = s[:, :-1], s[:, 1:]
@@ -174,9 +183,13 @@ def adjacency_list(seg: jnp.ndarray, num_segments: int, max_edges: int = 512):
 
     h1, h2 = pairs(a_h, b_h)
     v1, v2 = pairs(a_v, b_v)
-    keys = jnp.concatenate([h1, h2, v1, v2])
+    # a literal -1 guarantees the padding value exists in the input and
+    # sorts FIRST — otherwise, when every pair is a boundary (no -1 in
+    # the data), jnp.unique appends its fill at the END and the slice
+    # below would drop the smallest REAL key instead
+    keys = jnp.concatenate([h1, h2, v1, v2, jnp.full((1,), -1, jnp.int32)])
     uniq = jnp.unique(keys, size=max_edges + 1, fill_value=-1)
-    # Drop the -1 padding slot (sorted first when present).
+    # Drop the -1 slot (sorted first).
     uniq = uniq[-max_edges:] if uniq.shape[0] > max_edges else uniq
     valid = uniq >= 0
     le = jnp.where(valid, uniq % div, 0)
@@ -225,9 +238,10 @@ def segment_pyramid_pool(pyramid: dict, seg: jnp.ndarray, num_segments: int):
     for name in sorted(pyramid.keys()):
         f = pyramid[name]
         C, Hi, Wi = f.shape
-        iy = jnp.clip(jnp.floor(jnp.arange(Hi) * (H / Hi)).astype(jnp.int32), 0, H - 1)
-        ix = jnp.clip(jnp.floor(jnp.arange(Wi) * (W / Wi)).astype(jnp.int32), 0, W - 1)
-        seg_i = seg[iy, :][:, ix]
+        # shared nearest-index convention with resize.resize_nearest
+        from .resize import _nearest_indices
+
+        seg_i = seg[_nearest_indices(Hi, H), :][:, _nearest_indices(Wi, W)]
         pooled, counts = segment_mean_pool(f, seg_i, num_segments)  # (S, C)
         # centroid fallback for segments that vanished at this scale
         cx = jnp.clip((centers[:, 0] * (Wi / W)).astype(jnp.int32), 0, Wi - 1)

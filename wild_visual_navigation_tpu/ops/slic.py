@@ -113,8 +113,14 @@ def slic(
         cyx2 = jnp.sum(cyx * cyx, axis=-1)[None, :]
         sdots = jnp.dot(yx, cyx.T, preferred_element_type=jnp.float32)
         d2_spatial = yx2 - 2.0 * sdots + cyx2
-        d2 = jnp.where(d2_spatial <= win2, d2, _BIG)
-        return jnp.argmin(d2, axis=-1)  # (HW,)
+        masked = jnp.where(d2_spatial <= win2, d2, _BIG)
+        best = jnp.argmin(masked, axis=-1)  # (HW,)
+        # a pixel with no center in its 2S window (extreme aspect
+        # ratios can leave whole bands uncovered by _grid_centers'
+        # truncation) falls back to its spatially NEAREST center
+        # instead of argmin's arbitrary segment 0
+        orphan = jnp.min(d2_spatial, axis=-1) > win2
+        return jnp.where(orphan, jnp.argmin(d2_spatial, axis=-1), best)
 
     def body(_, centers):
         ids = assign(centers)

@@ -123,9 +123,13 @@ def build_fused_frame_fn(
             seg = slic(x[0], num_components=S, compactness=slic_compactness, iterations=slic_iterations)
         elif segmentation_type == "grid":
             seg = segment_ops.segment_grid(H, W, cell_size)
-        elif segmentation_type in ("none", None):
-            seg = segment_ops.segment_pixelwise(H, W)
         else:
+            # 'none' (pixelwise) deliberately NOT served here: its
+            # "segments" are the H*W pixels, so pooling/adjacency would
+            # need the very pixel-resolution tensors the fused program
+            # exists to avoid (and the adjacency pair hash caps at ~46k
+            # ids). The composed facade handles it exactly
+            # (segment_pixelwise + pixelwise_edges).
             raise ValueError(f"fused path does not support segmentation [{segmentation_type}]")
 
         edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)

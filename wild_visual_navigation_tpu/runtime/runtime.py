@@ -260,7 +260,9 @@ class WVNRuntime:
         self._fused_frame = None
         _dino_fusable = (
             "dino" in fp.feature_type
-            and fp.segmentation_type in ("slic", "grid", "none", None)
+            # 'none' (pixelwise) goes composed: its segments ARE the
+            # pixels, which the fused pooling/adjacency cannot serve
+            and fp.segmentation_type in ("slic", "grid")
         )
         if use_fused and self._W != self._H:
             # All fused builders accept rectangles (fused.py
