@@ -219,7 +219,7 @@ def main():
         "simple_mlp_cfg": {"input_size": D, "hidden_sizes": [256, 32, 1], "reconstruction": True},
     })
     mlp_params = mlp.init(jax.random.PRNGKey(1), jnp.zeros((1, D)))
-    infer = build_fused_batch_fn(vit, mlp, size, B)
+    infer = build_fused_batch_fn(vit, mlp)
 
     # --- stage 2: optical flow (one camera, 64 tracked points)
     flow_fn = jax.jit(lambda a, b, pts: track_points(a, b, pts))

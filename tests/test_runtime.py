@@ -424,3 +424,48 @@ def test_runtime_with_torchvision_fused():
     for _ in range(6):
         st = rt.learning_step()
     assert st.step > 0
+
+
+def test_runtime_with_simple_gcn():
+    """SimpleGCN through the ONLINE runtime end to end — the reference
+    trains its GCN on pyg graphs with per-node edge_index
+    (make_batch + as_pyg_data); here the frame adjacency feeds
+    per-segment scoring and the train step recomputes each node's
+    adjacency from the stored segmentation."""
+    import jax
+    import numpy as np
+
+    from wild_visual_navigation_tpu.cfg import (
+        ExperimentParams,
+        FeatureExtractorNodeParams,
+        LearningNodeParams,
+    )
+    from wild_visual_navigation_tpu.runtime import WVNRuntime, run_replay, synthetic_sequence
+
+    size = 48
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=size, network_input_image_width=size,
+        segmentation_type="grid", feature_type="sift", prediction_per_pixel=False,
+        image_callback_rate=1000.0, grid_cell_size=8,
+    )
+    ln = LearningNodeParams(
+        network_input_image_height=size, network_input_image_width=size,
+        image_graph_dist_thr=0.1, supervision_graph_dist_thr=0.05,
+        min_samples_for_training=3, supervision_callback_rate=1000.0,
+    )
+    exp = ExperimentParams()
+    exp.model.name = "SimpleGCN"
+    exp.model.simple_gcn_cfg.input_size = 128  # sift feature dim
+    exp.model.simple_gcn_cfg.hidden_sizes = [32, 16, 1]
+    rt = WVNRuntime(fe_params=fe, ln_params=ln, exp_params=exp,
+                    key=jax.random.PRNGKey(0), buffer_capacity=16,
+                    reprojection_fanout=8)
+
+    seq = synthetic_sequence(duration=5.0, frame_rate=5.0, state_rate=5.0,
+                             image_size=size, seed=3)
+    report = run_replay(rt, seq, train_every_state=1)
+    assert report.frames_processed > 5
+    assert report.train_steps > 0, "GCN online training never stepped"
+    assert np.isfinite(report.final_loss) and report.final_loss > 0
+    res = report.last_result
+    assert res is not None and np.isfinite(np.asarray(res.traversability)).all()

@@ -242,3 +242,46 @@ class FeatureExtractor:
             center_valid=center_valid,
             dense_features=dense if return_dense_features else None,
         )
+
+
+def static_feature_dim(feature_type: str, backbone_type: str = "vit_small",
+                       model_type: str = "resnet18") -> int:
+    """Feature dimensionality WITHOUT constructing a backbone — for
+    consumers that only need shapes (e.g. the learning-process node,
+    which receives features pre-extracted and must not pay HBM for a
+    ViT it never runs)."""
+    if feature_type == "stego":
+        return 90
+    if feature_type in ("dino", "dinov2"):
+        return {"vit_tiny": 192, "vit_small": 384, "vit_base": 768,
+                "vit_large": 1024}[backbone_type]
+    if feature_type == "torchvision":
+        from ..models.resnet import pyramid_feature_dim
+
+        return pyramid_feature_dim(model_type)
+    if feature_type == "sift":
+        return 384  # 128 per RGB channel (see the facade's note)
+    if feature_type == "histogram":
+        from ..ops.histogram import HIST_DIM
+
+        return HIST_DIM
+    raise ValueError(feature_type)
+
+
+def static_num_segments(segmentation_type: str, height: int, width: int,
+                        cell_size: int = 32, slic_num_components: int = 100,
+                        n_random_pixels: int = 100,
+                        n_image_clusters: int = 20) -> int:
+    """FeatureExtractor.num_segments without an instance."""
+    st = segmentation_type
+    if st == "slic":
+        return slic_num_components
+    if st == "grid":
+        return (-(-height // cell_size)) * (-(-width // cell_size))
+    if st == "random":
+        return n_random_pixels
+    if st == "stego":
+        return n_image_clusters
+    if st in ("none", None):
+        return height * width
+    raise ValueError(st)

@@ -45,3 +45,33 @@ def get_model(model_cfg: Mapping[str, Any]):
         if isinstance(v, list):
             kwargs[k] = tuple(v)
     return cls(**kwargs)
+
+
+def model_needs_edges(model) -> bool:
+    """Graph models (SimpleGCN) take (x, edges, edge_valid); row models
+    (SimpleMLP/DoubleMLP/LinearRnvp) take x alone."""
+    return isinstance(model, SimpleGCN)
+
+
+def apply_model(model, params, x, edges=None, edge_valid=None):
+    """Uniform apply across row and graph heads. A graph head with no
+    edges provided degrades exactly to per-row behavior (gcn_aggregate
+    with zero valid edges keeps only the self loop)."""
+    import jax.numpy as jnp
+
+    if model_needs_edges(model):
+        if edges is None:
+            edges = jnp.zeros((2, 0), jnp.int32)
+            edge_valid = jnp.zeros((0,), bool)
+        return model.apply(params, x, edges, edge_valid)
+    return model.apply(params, x)
+
+
+def init_model(model, rng, feature_dim: int):
+    """Init that matches the model's call signature."""
+    import jax.numpy as jnp
+
+    if model_needs_edges(model):
+        return model.init(rng, jnp.zeros((1, feature_dim)),
+                          jnp.zeros((2, 0), jnp.int32), jnp.zeros((0,), bool))
+    return model.init(rng, jnp.zeros((1, feature_dim)))

@@ -21,7 +21,7 @@ import numpy as np
 import optax
 from flax import serialization
 
-from ..models import get_model
+from ..models import apply_model, get_model, init_model
 from ..utils.confidence_generator import confidence_init
 from ..utils.data import TravBatch
 from ..utils.loss import TraversabilityLossConfig, traversability_loss
@@ -48,7 +48,7 @@ class OfflineTrainer:
         self.cfg = cfg
         self.model = get_model(cfg.model_cfg)
         D = self._input_size()
-        self.params = self.model.init(jax.random.PRNGKey(cfg.seed), jnp.zeros((1, D)))
+        self.params = init_model(self.model, jax.random.PRNGKey(cfg.seed), D)
         self.tx = optax.adam(cfg.lr)
         self.opt_state = self.tx.init(self.params)
         self.cg_state = confidence_init()
@@ -65,7 +65,7 @@ class OfflineTrainer:
                               y_valid=yv.reshape(-1), sample_valid=sv.reshape(-1))
 
             def lf(p):
-                res = model.apply(p, batch.x)
+                res = apply_model(model, p, batch.x)
                 loss, aux, cg2 = traversability_loss(loss_cfg, batch, res, cg_state)
                 return loss, cg2
 
@@ -75,7 +75,7 @@ class OfflineTrainer:
 
         @jax.jit
         def _predict(params, x):
-            return model.apply(params, x.reshape(-1, x.shape[-1]))[:, 0]
+            return apply_model(model, params, x.reshape(-1, x.shape[-1]))[:, 0]
 
         self._train_step = _train_step
         self._predict = _predict

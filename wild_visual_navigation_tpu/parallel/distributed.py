@@ -99,6 +99,14 @@ class DistributedTrainer:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from ..models import model_needs_edges
+
+        if model_needs_edges(estimator.model):
+            raise NotImplementedError(
+                "DistributedTrainer shards flattened sample rows; graph "
+                "heads (SimpleGCN) need per-node adjacency — train them "
+                "single-process (the estimator's train() supports them)"
+            )
         self._est = estimator
         self._mesh = mesh or create_global_mesh()
         self._dp = NamedSharding(self._mesh, P("dp"))

@@ -22,6 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..models import apply_model, model_needs_edges
 from ..models.vit import dense_features
 from ..ops import segment_ops
 from ..ops.resize import (
@@ -36,13 +37,15 @@ from ..ops.slic import slic
 from ..utils.confidence_generator import ConfidenceConfig, confidence_inference
 
 
-def _score_rows(mlp, mlp_params, cg_cfg, cg_state, x, anomaly: bool):
+def _score_rows(mlp, mlp_params, cg_cfg, cg_state, x, anomaly: bool,
+                edges=None, edge_valid=None):
     """(N, D) feature rows -> (trav (N,), conf (N,)). Branches on the
     head's output contract: SimpleMLP/DoubleMLP return the
     [trav || reconstruction] array; LinearRnvp (anomaly mode) returns
     {z, log_det, logprob} and traversability IS the calibrated flow
-    likelihood (reference wvn_feature_extractor_node.py:335-338)."""
-    out = mlp.apply(mlp_params, x)
+    likelihood (reference wvn_feature_extractor_node.py:335-338).
+    Graph heads (SimpleGCN) take the frame's segment adjacency."""
+    out = apply_model(mlp, mlp_params, x, edges, edge_valid)
     if anomaly:
         losses = jnp.sum(out["logprob"], axis=-1) + out["log_det"]
         trav = confidence_inference(cg_cfg, cg_state, -losses)
@@ -134,6 +137,29 @@ def build_fused_frame_fn(
 
         edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
         centers, center_valid = segment_ops.segment_centers(seg, S)
+
+        if model_needs_edges(mlp):
+            # Graph heads score per SEGMENT over the frame's adjacency
+            # (the reference's GCN consumes pyg graphs, not pixel rows);
+            # maps broadcast per-segment scores
+            pooled, counts = segment_ops.segment_mean_pool_upsampled(
+                feat[0].astype(jnp.float32), seg, S, H, W
+            )
+            trav_seg, conf_seg = _score_rows(
+                mlp, mlp_params, cg_cfg, cg_state, pooled, anomaly,
+                edges=edges, edge_valid=edge_valid,
+            )
+            sid = seg.clip(0, S - 1)
+            return FrameResult(
+                traversability=trav_seg[sid],
+                confidence=conf_seg[sid],
+                features=pooled,
+                feat_valid=counts > 0,
+                segments=seg,
+                edges=edges,
+                edge_valid=edge_valid,
+                centers=centers,
+            )
 
         if score_at_patch_res:
             _, D, Hp, Wp = feat.shape
@@ -310,7 +336,16 @@ def build_fused_stego_frame_fn(
         edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
         centers, center_valid = segment_ops.segment_centers(seg, S)
 
-        if prediction_per_pixel and pixelwise_supports(mlp):
+        if model_needs_edges(mlp):
+            # graph heads: per-segment scoring over the cluster adjacency
+            trav_seg, conf_seg = _score_rows(
+                mlp, mlp_params, cg_cfg, cg_state, pooled, False,
+                edges=edges, edge_valid=edge_valid,
+            )
+            sid = seg.clip(0, S - 1)
+            trav = trav_seg[sid]
+            conf = conf_seg[sid]
+        elif prediction_per_pixel and pixelwise_supports(mlp):
             # Same Gram restructuring as the dino path: the 90-channel
             # code never materializes at pixel resolution.
             trav_b, conf_b = pixelwise_score(
@@ -425,7 +460,8 @@ def build_fused_torchvision_frame_fn(
         edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
         centers, _ = segment_ops.segment_centers(seg, S)
 
-        trav_seg, conf_seg = _score_rows(mlp, mlp_params, cg_cfg, cg_state, pooled, anomaly=False)
+        trav_seg, conf_seg = _score_rows(mlp, mlp_params, cg_cfg, cg_state, pooled,
+                                         anomaly=False, edges=edges, edge_valid=edge_valid)
         sid = seg.clip(0, S - 1)
         return FrameResult(
             traversability=trav_seg[sid],
@@ -469,11 +505,12 @@ def build_fused_torchvision_frame_fn(
     return jax.jit(frame) if jit_compile else frame
 
 
-def build_fused_batch_fn(vit, mlp, input_size: int, batch: int):
-    """Multi-camera batched variant: (B, 3, H, W) -> per-pixel trav maps
-    in one program (cameras batched into one pjit call — SURVEY §2.4's
-    multi-camera scaling axis)."""
-    H = input_size
+def build_fused_batch_fn(vit, mlp):
+    """Bare backbone+score batched program for BENCHMARK stage
+    isolation: (B, 3, H, W) already at network size -> per-PATCH trav
+    maps, no resize/segmentation/confidence (the production batched
+    path is build_fused_frame_fn(...).frames_batch). Shapes specialize
+    at the first call."""
 
     @jax.jit
     def frames(vit_params, mlp_params, imgs):

@@ -145,6 +145,7 @@ class RingBuffer:
             self._ptr = None
             self._fallback = deque(maxlen=capacity if overwrite else None)
             self._cap = capacity
+        self._fallback_dropped = 0
 
     def push(self, record: bytes) -> bool:
         assert len(record) == self.record_size
@@ -154,6 +155,10 @@ class RingBuffer:
             return fn(self._ptr, buf.ctypes.data) == 0
         if not self.overwrite and len(self._fallback) >= self._cap:
             return False
+        if self.overwrite and len(self._fallback) >= self._cap:
+            # deque(maxlen) silently discards the oldest — count it so
+            # `dropped` reports losses in the fallback too
+            self._fallback_dropped += 1
         self._fallback.append(record)
         return True
 
@@ -177,7 +182,7 @@ class RingBuffer:
     def dropped(self) -> int:
         if self._ptr:
             return int(self._lib.wvn_ring_dropped(self._ptr))
-        return 0
+        return self._fallback_dropped
 
     def __del__(self):
         if getattr(self, "_ptr", None) and self._lib:

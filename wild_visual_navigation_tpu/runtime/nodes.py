@@ -203,7 +203,15 @@ class FeatureExtractorNode:
             trav, conf = self._predict_seg(self.model_params, self.cg_state, ex.features, ex.segments)
 
         if self._publish_features is not None and ex.features is not None:
-            K_scaled = scale_intrinsics(jnp.asarray(K)[None], orig_h, orig_w, new_h=self._H)[0]
+            # new_w matters: without it a rectangular config takes the
+            # square-center-crop intrinsics branch and ships fy/cy in
+            # the fx/cx slots — supervision would reproject onto the
+            # wrong pixels (the single-process _scale_K_cached passes
+            # it the same way)
+            K_scaled = scale_intrinsics(
+                jnp.asarray(K)[None], orig_h, orig_w, new_h=self._H,
+                new_w=None if self._W == self._H else self._W,
+            )[0]
             msg = ImageFeatures(
                 stamp=stamp,
                 camera=camera,
@@ -232,9 +240,12 @@ class LearningNode:
         publish_system_state: Optional[Callable[[bytes], None]] = None,
         key: Optional[jax.Array] = None,
     ):
-        # Reuse the single-process runtime internals minus its own
-        # feature extractor usage (features arrive via ImageFeatures).
-        self.runtime = WVNRuntime(fe_params=fe_params, ln_params=ln_params, exp_params=exp_params, key=key)
+        # Reuse the single-process runtime internals minus the feature
+        # extractor (features arrive via ImageFeatures — a resident
+        # backbone here would be dead HBM weight).
+        self.runtime = WVNRuntime(fe_params=fe_params, ln_params=ln_params,
+                                  exp_params=exp_params, key=key,
+                                  build_feature_extractor=False)
         self._hot_swap_folder = hot_swap_folder
         self._publish_system_state = publish_system_state
         self._last_saved_step = -1
@@ -254,6 +265,12 @@ class LearningNode:
             pose_base_in_world=msg.pose_base_in_world,
             pose_cam_in_base=msg.pose_cam_in_base,
             camera_name=msg.camera,
+            # honor the camera config like the single-process runtime
+            # (_make_mission_node): use_for_training=False cameras must
+            # not feed the training buffer in this topology either
+            use_for_training=self.runtime.fe_params.camera_topics.get(
+                msg.camera, {}
+            ).get("use_for_training", True),
         )
         return self.runtime.estimator.add_mission_node(
             node,

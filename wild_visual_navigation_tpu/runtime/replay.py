@@ -246,9 +246,15 @@ def run_replay(
             if runtime.robot_state_callback(s.stamp, s.pose_base_in_world, s.current_twist, s.desired_twist):
                 report.supervision_updates += 1
             for _ in range(train_every_state):
+                step_before = runtime.estimator.step
                 st = runtime.learning_step()
-                if st.loss_total > 0:
+                # count actual optimizer steps (the estimator's counter),
+                # not loss readouts — SystemState carries the last loss
+                # BETWEEN logging-cadence ticks, which over-counted when
+                # logging_thread_rate < learning_thread_rate
+                if runtime.estimator.step > step_before:
                     report.train_steps += 1
+                if st.loss_total > 0:
                     report.final_loss = st.loss_total
     report.valid_nodes = runtime.estimator.get_num_valid_nodes()
     if verbose:

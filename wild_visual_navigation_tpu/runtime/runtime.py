@@ -126,6 +126,7 @@ class WVNRuntime:
         swallow_callback_errors: bool = False,
         score_at_patch_res: bool = False,
         mesh=None,
+        build_feature_extractor: bool = True,
     ):
         """mesh: optional jax.sharding.Mesh with ("dp", "tp") axes
         (parallel/mesh.py::create_mesh). When given, the backbone params
@@ -161,20 +162,40 @@ class WVNRuntime:
         self._H = fp.network_input_image_height
         self._W = fp.network_input_image_width
 
-        # --- feature extraction (process-1 equivalent)
-        self.feature_extractor = FeatureExtractor(
-            key=key,
-            segmentation_type=fp.segmentation_type,
-            feature_type=fp.feature_type,
-            input_size=self._H,
-            patch_size=fp.dino_patch_size,
-            backbone_type=fp.dino_backbone,
-            slic_num_components=fp.slic_num_components,
-            cell_size=fp.grid_cell_size,
-            backbone_params=backbone_params,
-        )
-        self._S = self.feature_extractor.num_segments(self._H, self._W)
-        self._D = self.feature_extractor.feature_dim
+        # --- feature extraction (process-1 equivalent).
+        # build_feature_extractor=False skips the backbone entirely —
+        # the learning-process node receives features pre-extracted
+        # over the wire, so a resident ViT would be pure dead weight
+        # (hundreds of MB of HBM for nothing); shapes come from the
+        # static helpers instead.
+        if build_feature_extractor:
+            self.feature_extractor = FeatureExtractor(
+                key=key,
+                segmentation_type=fp.segmentation_type,
+                feature_type=fp.feature_type,
+                input_size=self._H,
+                patch_size=fp.dino_patch_size,
+                backbone_type=fp.dino_backbone,
+                slic_num_components=fp.slic_num_components,
+                cell_size=fp.grid_cell_size,
+                backbone_params=backbone_params,
+            )
+            self._S = self.feature_extractor.num_segments(self._H, self._W)
+            self._D = self.feature_extractor.feature_dim
+        else:
+            from ..feature_extractor.feature_extractor import (
+                static_feature_dim,
+                static_num_segments,
+            )
+
+            self.feature_extractor = None
+            use_fused = False
+            self._S = static_num_segments(
+                fp.segmentation_type, self._H, self._W,
+                cell_size=fp.grid_cell_size,
+                slic_num_components=fp.slic_num_components,
+            )
+            self._D = static_feature_dim(fp.feature_type, fp.dino_backbone)
         # Reference patches model input_size from the extractor at
         # runtime (wvn_learning_node.py:309-315).
         model_cfg = self.exp_params.model.to_dict()
@@ -201,6 +222,8 @@ class WVNRuntime:
             feature_dim=self._D,
             image_height=self._H,
             image_width=self._W,
+            max_edges=self.feature_extractor._max_edges
+            if self.feature_extractor is not None else 1024,
             reprojection_fanout=reprojection_fanout,
             vis_node_index=self.ln_params.vis_node_index,
             supervision_flush_every=supervision_flush_every,
@@ -479,11 +502,14 @@ class WVNRuntime:
             return trav.reshape(H, W), conf
 
         @jax.jit
-        def _predict_segments(params, cg_state, feat, seg):
+        def _predict_segments(params, cg_state, feat, seg, edges=None, edge_valid=None):
             """(S, D) pooled features + (H, W) seg -> per-pixel maps via
             segment gather (the reference's per-segment scoring path,
-            wvn_feature_extractor_node.py:320-338)."""
-            out = model.apply(params, feat)
+            wvn_feature_extractor_node.py:320-338). Graph heads
+            additionally consume the frame's segment adjacency."""
+            from ..models import apply_model
+
+            out = apply_model(model, params, feat, edges, edge_valid)
             if anomaly:
                 losses = jnp.sum(out["logprob"], axis=-1) + out["log_det"]
                 trav_seg = confidence_inference(cg_cfg, cg_state, -losses)
@@ -558,6 +584,21 @@ class WVNRuntime:
         """
         self.events.record("image_callback_received")
         self.status.tick(f"camera:{camera}")
+        # a camera the scheduler doesn't know would be silently dropped
+        # forever ("canceled due to scheduler") — a one-character config
+        # typo deserves a loud warning, once per name
+        if self.fe_params.camera_topics and camera not in self.fe_params.camera_topics \
+                and camera not in getattr(self, "_unknown_cameras", set()):
+            import warnings
+
+            self._unknown_cameras = getattr(self, "_unknown_cameras", set())
+            self._unknown_cameras.add(camera)
+            warnings.warn(
+                f"image_callback: camera '{camera}' is not in "
+                f"camera_topics {sorted(self.fe_params.camera_topics)} — "
+                f"every frame from it will be dropped by the scheduler",
+                stacklevel=2,
+            )
         # rate gate (reference :283-285)
         last = self._last_image_ts.get(camera)
         if last is not None and (stamp - last) < 1.0 / self.fe_params.image_callback_rate:
@@ -596,6 +637,12 @@ class WVNRuntime:
         prediction_per_pixel,
     ) -> Optional[InferenceResult]:
 
+        if self.feature_extractor is None:
+            raise RuntimeError(
+                "this runtime was built with build_feature_extractor=False "
+                "(learning-process role) — it ingests pre-extracted features, "
+                "not camera frames"
+            )
         if prediction_per_pixel is None:
             prediction_per_pixel = self.fe_params.prediction_per_pixel
 
@@ -635,7 +682,14 @@ class WVNRuntime:
         else:
             img_r = resize_image(img, self._H, self._W if self._W != self._H else None)
             ex = self.feature_extractor.extract(img_r, return_dense_features=prediction_per_pixel)
-            if prediction_per_pixel and ex.dense_features is not None:
+            from ..models import model_needs_edges
+
+            if model_needs_edges(self.estimator.model):
+                # graph heads score per segment over the frame adjacency
+                trav, conf = self._predict_segments(
+                    params, cg, ex.features, ex.segments, ex.edges, ex.edge_valid
+                )
+            elif prediction_per_pixel and ex.dense_features is not None:
                 trav, conf = self._predict_dense(params, cg, ex.dense_features)
             else:
                 trav, conf = self._predict_segments(params, cg, ex.features, ex.segments)
@@ -844,6 +898,11 @@ class WVNRuntime:
                                self.estimator._mission_graph.get_num_valid_nodes())
             else:
                 res = self.estimator.train(convert_losses=convert)
+                # train() returns {} when paused — SystemState must
+                # still report the real graph, and the carried losses
+                # must not reset to -1 just because no step ran
+                res.setdefault("mission_graph_num_valid_node",
+                               self.estimator._mission_graph.get_num_valid_nodes())
         except Exception as exc:
             self.events.record_error("learning_step_state", exc)
             if not self._swallow_errors:
@@ -859,8 +918,12 @@ class WVNRuntime:
             else self.estimator.step
         )
         st.step = cur_step
-        if convert or "loss_total" not in res:
-            st.loss_total = float(res.get("loss_total", -1.0))
+        # update losses only from ticks that actually produced values
+        # (train() puts loss_total=-1 when data-starved — that IS a
+        # value); a paused tick has no loss_total and must not reset
+        # the carried readout to -1
+        if convert and "loss_total" in res:
+            st.loss_total = float(res["loss_total"])
             st.loss_trav = float(res.get("loss_trav", -1.0))
             st.loss_reco = float(res.get("loss_reco", -1.0))
         st.pause_learning = self.estimator.pause_learning

@@ -65,7 +65,11 @@ class SocketPublisher:
         while self._accepting:
             try:
                 conn, _ = self._srv.accept()
-                conn.setblocking(True)
+                # bounded send: a subscriber that stops draining must
+                # not block publish() (and, through the shared lock,
+                # this accept loop) forever — on timeout the frame is
+                # dropped for that subscriber (latest-wins semantics)
+                conn.settimeout(0.2)
                 with self._lock:
                     self._conns.append(conn)
             except socket.timeout:
@@ -79,10 +83,19 @@ class SocketPublisher:
             for c in self._conns:
                 try:
                     c.sendall(_HDR.pack(len(payload)) + payload)
+                except socket.timeout:
+                    # stalled subscriber: drop this frame for it; a
+                    # partial write corrupts its stream framing, so
+                    # disconnect it entirely rather than desync
+                    dead.append(c)
                 except OSError:
                     dead.append(c)
             for c in dead:
                 self._conns.remove(c)
+                try:
+                    c.close()
+                except OSError:
+                    pass
 
     def close(self):
         self._accepting = False

@@ -38,7 +38,7 @@ import numpy as np
 import optax
 from flax import serialization
 
-from ..models import get_model
+from ..models import apply_model, get_model, init_model, model_needs_edges
 from ..ops.projection import Camera
 from ..ops.rasterize import project_and_render
 from ..ops.segment_ops import segment_masked_mean
@@ -91,6 +91,7 @@ class TraversabilityEstimator:
         feature_dim: int = 384,
         image_height: int = 224,
         image_width: int = 224,
+        max_edges: int = 1024,
         reprojection_fanout: int = 32,
         seed: int = 42,
         vis_node_index: int = 10,
@@ -119,6 +120,7 @@ class TraversabilityEstimator:
         self._anomaly_detection = anomaly_detection
         self._H, self._W = image_height, image_width
         self._S, self._D = num_segments, feature_dim
+        self._max_edges = max_edges  # per-node adjacency capacity (GCN heads)
         self._B_max = reprojection_fanout
         self._vis_node_index = vis_node_index
         self._vis_mission_node = None
@@ -156,7 +158,7 @@ class TraversabilityEstimator:
         # Model + optimizer + loss (reference :80-100)
         self._model = get_model(model_cfg)
         rng = jax.random.PRNGKey(seed)
-        self._params = self._model.init(rng, jnp.zeros((1, feature_dim)))
+        self._params = init_model(self._model, rng, feature_dim)
         if anomaly_detection:
             self._loss_cfg = anomaly_loss_cfg or AnomalyLossConfig()
         else:
@@ -302,13 +304,25 @@ class TraversabilityEstimator:
 
             return jax.lax.scan(one, buf, (idxs, footprints, travs))
 
+        def _model_res(params, batch):
+            """Rows for row heads; per-node graph application for GCNs
+            (the reference's pyg Batch keeps per-node edge_index,
+            nodes.py:199-214 + make_batch)."""
+            if batch.edges is not None:
+                B = batch.edges.shape[0]
+                xn = batch.x.reshape(B, -1, batch.x.shape[-1])
+                res = jax.vmap(
+                    lambda xi, e, ev: model.apply(params, xi, e, ev)
+                )(xn, batch.edges, batch.edge_valid)
+                return res.reshape(-1, res.shape[-1])
+            return apply_model(model, params, batch.x)
+
         def _loss_on_batch(params, batch, cg_state):
+            res = _model_res(params, batch)
             if anomaly:
                 # Flow over positively-labeled samples only (reference
                 # as_pyg_data(anomaly_detection=True), nodes.py:208-214).
-                res = model.apply(params, batch.x)
                 return anomaly_loss(loss_cfg, res, batch.y_valid & batch.sample_valid, cg_state)
-            res = model.apply(params, batch.x)
             return traversability_loss(loss_cfg, batch, res, cg_state)
 
         def _step_on_batch(params, opt_state, cg_state, batch: TravBatch):
@@ -336,6 +350,8 @@ class TraversabilityEstimator:
         # one training iteration is a single device dispatch. Under a
         # mesh, the gathered sample rows are dp-sharded, so the
         # forward/backward splits across chips and XLA psums the grads.
+        is_gcn = model_needs_edges(model)
+
         @partial(jax.jit, donate_argnums=(1,))
         def _train_step(params, opt_state, cg_state, buf: MissionBuffer, idx):
             x = _shard_rows(buf.features[idx])
@@ -345,6 +361,16 @@ class TraversabilityEstimator:
             batch = TravBatch(
                 x=x.reshape(-1, x.shape[-1]), y=y.reshape(-1), y_valid=yv.reshape(-1), sample_valid=sv.reshape(-1)
             )
+            if is_gcn:
+                # per-node segment adjacency recomputed from the stored
+                # segmentation (the reference's pyg edge_index travels
+                # with each node; here `seg` is the source of truth)
+                from ..ops.segment_ops import adjacency_list
+
+                eb, evb = jax.vmap(
+                    lambda s: adjacency_list(s, S, max_edges=self._max_edges)
+                )(_shard_rows(buf.seg[idx]))
+                batch = batch._replace(edges=eb, edge_valid=evb)
             return _step_on_batch(params, opt_state, cg_state, batch)
 
         @jax.jit

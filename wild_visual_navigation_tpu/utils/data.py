@@ -32,12 +32,19 @@ class NodeData(NamedTuple):
 
 
 class TravBatch(NamedTuple):
-    """Flattened batch of node data: (N = B*S) samples."""
+    """Flattened batch of node data: (N = B*S) samples.
+
+    Graph heads (SimpleGCN) additionally carry per-node adjacency —
+    the reference's pyg Batch.edge_index (nodes.py:199-214): `edges`
+    (B, 2, E) + `edge_valid` (B, E); x reshapes back to (B, S, D) for
+    the per-node model application. None for row heads."""
 
     x: jnp.ndarray  # (N, D)
     y: jnp.ndarray  # (N,)
     y_valid: jnp.ndarray  # (N,) bool
     sample_valid: jnp.ndarray  # (N,) bool
+    edges: Optional[jnp.ndarray] = None  # (B, 2, E) int32
+    edge_valid: Optional[jnp.ndarray] = None  # (B, E) bool
 
     @property
     def num_samples(self) -> jnp.ndarray:
