@@ -93,6 +93,12 @@ def test_moving_average_window():
     recent = np.concatenate(windows[-5:])
     np.testing.assert_allclose(float(state.mean), recent.mean(), rtol=1e-3)
     np.testing.assert_allclose(float(state.std), recent.std(ddof=1), rtol=1e-3)
+    # an empty-positive step must be a no-op (skip semantics): it must
+    # not write a zero-count slot that evicts a real batch's statistics
+    state2, _ = confidence_update(cfg, state, jnp.zeros(8), jnp.zeros(8, dtype=bool))
+    np.testing.assert_allclose(float(state2.mean), float(state.mean), rtol=1e-6)
+    np.testing.assert_allclose(float(state2.std), float(state.std), rtol=1e-6)
+    assert int(state2.window_ptr) == int(state.window_ptr)
 
 
 def test_confidence_state_roundtrip():

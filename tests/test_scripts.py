@@ -52,6 +52,35 @@ def test_overlay():
     assert out.min() >= 0 and out.max() <= 1
 
 
+def test_colormap_squeeze_matches_reference_lut():
+    """colormap_rdylbu(squeeze=0.3) must reproduce the reference's
+    stretched-LUT construction (visualizer.py:378-384): 256 entries,
+    first 128 sampling palette positions [0, 0.3], last 128 sampling
+    [0.7, 1.0] — i.e. v just below 0.5 lands deep in the red half, v
+    just above lands deep in the blue half (no yellow midband)."""
+    from wild_visual_navigation_tpu.visu import colormap_rdylbu
+    from wild_visual_navigation_tpu.visu.visualizer import _RDYLBU
+
+    def palette_at(p):
+        idx = p * (len(_RDYLBU) - 1)
+        lo = int(np.floor(idx))
+        hi = min(lo + 1, len(_RDYLBU) - 1)
+        w = idx - lo
+        return _RDYLBU[lo] * (1 - w) + _RDYLBU[hi] * w
+
+    s = 0.3
+    # exact LUT semantics: i = int(v*255); i<=127 -> s*i/127, else 1-s + s*(i-128)/127
+    for v in [0.0, 0.25, 0.4999, 0.5, 0.75, 1.0]:
+        i = min(int(v * 255), 255)
+        p = s * i / 127.0 if i <= 127 else (1.0 - s) + s * (i - 128) / 127.0
+        got = colormap_rdylbu(np.asarray([v], np.float32), squeeze=s)[0]
+        np.testing.assert_allclose(got, palette_at(p), atol=1e-5)
+    # hard decision boundary: just-below-0.5 is red-dominant, just-above blue-dominant
+    below = colormap_rdylbu(np.asarray([0.498]), squeeze=s)[0]
+    above = colormap_rdylbu(np.asarray([0.502]), squeeze=s)[0]
+    assert below[0] > below[2] and above[2] > above[0]
+
+
 def test_mission_logger(tmp_path):
     lg = MissionLogger(folder=str(tmp_path), store_images=True)
     for i in range(10):

@@ -149,18 +149,25 @@ def confidence_update(
 
     # moving_average: window stats over the last 5 positive batches
     # (sum/sum2/count per slot reproduce mean/std over the concatenated
-    # window without storing raw samples).
+    # window without storing raw samples). Empty-positive steps must not
+    # write (and advance past) a zero-count slot — that would evict a
+    # real batch's statistics, violating the skip semantics above.
     ptr = state.window_ptr % _WINDOW
-    wsum = state.window_sum.at[ptr].set(jnp.sum(jnp.where(pos_mask, x, 0.0)))
-    wsum2 = state.window_sum2.at[ptr].set(jnp.sum(jnp.where(pos_mask, x * x, 0.0)))
-    wn = state.window_n.at[ptr].set(n_p)
+    wsum = state.window_sum.at[ptr].set(
+        jnp.where(has_pos, jnp.sum(jnp.where(pos_mask, x, 0.0)), state.window_sum[ptr])
+    )
+    wsum2 = state.window_sum2.at[ptr].set(
+        jnp.where(has_pos, jnp.sum(jnp.where(pos_mask, x * x, 0.0)), state.window_sum2[ptr])
+    )
+    wn = state.window_n.at[ptr].set(jnp.where(has_pos, n_p, state.window_n[ptr]))
     n_tot = jnp.sum(wn)
     mean = jnp.sum(wsum) / jnp.maximum(n_tot, 1.0)
     # unbiased (ddof=1) like torch.std on the concatenated window
     var = (jnp.sum(wsum2) - n_tot * mean**2) / jnp.maximum(n_tot - 1.0, 1.0)
     std = jnp.sqrt(jnp.maximum(var, 0.0))
     state = state._replace(
-        window_sum=wsum, window_sum2=wsum2, window_n=wn, window_ptr=state.window_ptr + 1,
+        window_sum=wsum, window_sum2=wsum2, window_n=wn,
+        window_ptr=state.window_ptr + has_pos.astype(jnp.int32),
         mean=mean, var=jnp.maximum(var, 0.0), std=std,
     )
     # reference :126-128: clip to mean +- 2 std, then min-max normalize.

@@ -18,8 +18,8 @@ import numpy as np
 
 # RdYlBu control points (matplotlib's palette), value 0 -> red (low
 # traversability), 1 -> blue. The reference stretches the colormap and
-# re-registers it (visualizer.py:379-384); we apply the same s=0.3
-# linear squeeze around the center.
+# re-registers it (visualizer.py:379-384); colormap_rdylbu(squeeze=0.3)
+# reproduces that LUT and is the classification-overlay default.
 _RDYLBU = np.array(
     [
         [165, 0, 38],
@@ -38,10 +38,23 @@ _RDYLBU = np.array(
 ) / 255.0
 
 
-def colormap_rdylbu(values: np.ndarray, stretch: float = 1.0) -> np.ndarray:
-    """values in [0,1], any shape -> (..., 3) RGB float."""
+def colormap_rdylbu(values: np.ndarray, stretch: float = 1.0, squeeze: Optional[float] = None) -> np.ndarray:
+    """values in [0,1], any shape -> (..., 3) RGB float.
+
+    squeeze=s reproduces the reference's stretched-LUT construction
+    (visualizer.py:378-384): a 256-entry table whose first 128 rows
+    sample palette positions [0, s] and last 128 rows sample [1-s, 1] —
+    the yellow midband is removed, giving a hard red/blue decision
+    boundary at value 0.5."""
     v = np.clip(np.nan_to_num(values, nan=0.0), 0.0, 1.0)
-    if stretch != 1.0:
+    if squeeze is not None:
+        i = np.minimum((v * 255).astype(np.int32), 255)
+        v = np.where(
+            i <= 127,
+            squeeze * i / 127.0,
+            (1.0 - squeeze) + squeeze * (i - 128) / 127.0,
+        ).astype(np.float32)
+    elif stretch != 1.0:
         v = np.clip((v - 0.5) * stretch + 0.5, 0.0, 1.0)
     idx = v * (len(_RDYLBU) - 1)
     lo = np.floor(idx).astype(int)
@@ -81,15 +94,17 @@ class LearningVisualizer:
         prediction: np.ndarray,
         alpha: float = 0.5,
         confidence: Optional[np.ndarray] = None,
+        squeeze: Optional[float] = 0.3,
         tag: str = "classification",
     ) -> np.ndarray:
         """Image + colormapped prediction overlay; where `confidence` is
         given it modulates overlay opacity (reference
-        plot_detectron_classification, visualizer.py:368-430).
-        Returns (H, W, 3) float RGB."""
+        plot_detectron_classification, visualizer.py:368-430, including
+        its s=0.3 squeezed RdYlBu LUT; pass squeeze=None for the plain
+        palette). Returns (H, W, 3) float RGB."""
         base = _to_hwc(img)
         pred = np.asarray(prediction, dtype=np.float32)
-        heat = colormap_rdylbu(pred, stretch=1.0 / 0.3 if False else 1.0)
+        heat = colormap_rdylbu(pred, squeeze=squeeze)
         a = alpha * (np.asarray(confidence, dtype=np.float32)[..., None] if confidence is not None else 1.0)
         out = base * (1 - a) + heat * a
         return self._maybe_store(np.clip(out, 0, 1), tag)
