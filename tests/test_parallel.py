@@ -278,3 +278,66 @@ def test_runtime_distributed_trainer_hook():
     rt.pause_learning(False)
     rt.learning_step()
     assert trainer.step_count == 5
+
+
+def test_distributed_trainer_gcn_matches_single_process():
+    """Graph heads through the DistributedTrainer (was a
+    NotImplementedError cliff): per-node segment adjacency is
+    recomputed locally and dp-sharded alongside the sample rows, so
+    the collective step runs the SAME math as the single-process
+    _train_step. Verified by stepping a pickled twin estimator with
+    the identical sample indices."""
+    import pickle
+
+    from wild_visual_navigation_tpu.cfg import (
+        ExperimentParams,
+        FeatureExtractorNodeParams,
+        LearningNodeParams,
+    )
+    from wild_visual_navigation_tpu.runtime import WVNRuntime, run_replay, synthetic_sequence
+
+    size = 48
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=size, network_input_image_width=size,
+        segmentation_type="grid", feature_type="sift", prediction_per_pixel=False,
+        image_callback_rate=1000.0, grid_cell_size=8,
+    )
+    ln = LearningNodeParams(
+        network_input_image_height=size, network_input_image_width=size,
+        image_graph_dist_thr=0.1, supervision_graph_dist_thr=0.05,
+        min_samples_for_training=3, supervision_callback_rate=1000.0,
+    )
+    exp = ExperimentParams()
+    exp.model.name = "SimpleGCN"
+    exp.model.simple_gcn_cfg.input_size = 128  # sift feature dim
+    exp.model.simple_gcn_cfg.hidden_sizes = [32, 16, 1]
+    rt = WVNRuntime(fe_params=fe, ln_params=ln, exp_params=exp,
+                    key=jax.random.PRNGKey(0), buffer_capacity=16,
+                    reprojection_fanout=8)
+    seq = synthetic_sequence(duration=5.0, frame_rate=5.0, state_rate=5.0,
+                             image_size=size, seed=3)
+    run_replay(rt, seq, train_every_state=0)
+    rt.estimator._resolve_pending_supervision()
+
+    # twin estimator with identical buffer/optimizer state
+    twin = pickle.loads(pickle.dumps(rt.estimator))
+
+    # pin the sample so both paths train on the same rows
+    valid = [n.buffer_slot for n in rt.estimator._mission_graph.get_valid_nodes()
+             if n.buffer_slot >= 0]
+    assert len(valid) > 3, "replay produced too few valid nodes"
+    idx = np.array((valid * 8)[:8], dtype=np.int32)
+    rt.estimator._sample_indices = lambda batch_size=None: idx
+    twin._sample_indices = lambda batch_size=None: idx
+
+    trainer = rt.attach_distributed_trainer()  # no longer raises for GCN
+    for _ in range(3):
+        dist_res = trainer.step()
+        single_res = twin.train()
+        assert np.isfinite(dist_res["loss_total"])
+        np.testing.assert_allclose(dist_res["loss_total"], single_res["loss_total"],
+                                   rtol=2e-5, atol=2e-6)
+    trainer.sync_to_estimator()
+    for a, b in zip(jax.tree_util.tree_leaves(rt.estimator.params),
+                    jax.tree_util.tree_leaves(twin.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -59,26 +59,33 @@ def test_colormap_squeeze_matches_reference_lut():
     [0.7, 1.0] — i.e. v just below 0.5 lands deep in the red half, v
     just above lands deep in the blue half (no yellow midband)."""
     from wild_visual_navigation_tpu.visu import colormap_rdylbu
-    from wild_visual_navigation_tpu.visu.visualizer import _RDYLBU
-
-    def palette_at(p):
-        idx = p * (len(_RDYLBU) - 1)
-        lo = int(np.floor(idx))
-        hi = min(lo + 1, len(_RDYLBU) - 1)
-        w = idx - lo
-        return _RDYLBU[lo] * (1 - w) + _RDYLBU[hi] * w
 
     s = 0.3
-    # exact LUT semantics: i = int(v*255); i<=127 -> s*i/127, else 1-s + s*(i-128)/127
-    for v in [0.0, 0.25, 0.4999, 0.5, 0.75, 1.0]:
-        i = min(int(v * 255), 255)
-        p = s * i / 127.0 if i <= 127 else (1.0 - s) + s * (i - 128) / 127.0
+    # Independently-derived expectations: matplotlib.colormaps['RdYlBu']
+    # sampled at the reference LUT positions p(v) = s*i/127 (i<=127) /
+    # (1-s)+s*(i-128)/127 (i>127) with i=int(v*255), computed offline.
+    # (Our 11-anchor interpolation matches matplotlib's 256-entry LUT to
+    # within 5e-3.)
+    expected = {
+        0.0: (0.6471, 0.0000, 0.1490),     # p=0.0     deep red
+        0.25: (0.8989, 0.3055, 0.2068),    # p=0.1488
+        0.4999: (0.9915, 0.6774, 0.3781),  # p=0.3     orange: the yellow midband is gone
+        0.5: (0.9915, 0.6774, 0.3781),     # i=127 -> still the red half (reference i<=127 branch)
+        0.75: (0.3609, 0.5665, 0.7616),    # p=0.8488
+        1.0: (0.1922, 0.2118, 0.5843),     # p=1.0     deep blue
+    }
+    for v, rgb in expected.items():
         got = colormap_rdylbu(np.asarray([v], np.float32), squeeze=s)[0]
-        np.testing.assert_allclose(got, palette_at(p), atol=1e-5)
+        np.testing.assert_allclose(got, np.asarray(rgb), atol=6e-3)
     # hard decision boundary: just-below-0.5 is red-dominant, just-above blue-dominant
     below = colormap_rdylbu(np.asarray([0.498]), squeeze=s)[0]
     above = colormap_rdylbu(np.asarray([0.502]), squeeze=s)[0]
     assert below[0] > below[2] and above[2] > above[0]
+    # squeeze and stretch are mutually exclusive
+    import pytest
+
+    with pytest.raises(ValueError):
+        colormap_rdylbu(np.asarray([0.5]), stretch=2.0, squeeze=s)
 
 
 def test_mission_logger(tmp_path):

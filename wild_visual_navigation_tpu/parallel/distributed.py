@@ -25,7 +25,7 @@ slice, DCN/Gloo across hosts; XLA inserts them from the shardings
 
 Validated end-to-end on a multi-process CPU mesh by
 tools/dryrun_multiprocess.py (spawned from __graft_entry__ and
-tests/test_distributed.py).
+tests/test_parallel.py::test_multiprocess_distributed_trainer).
 """
 
 from __future__ import annotations
@@ -101,12 +101,6 @@ class DistributedTrainer:
 
         from ..models import model_needs_edges
 
-        if model_needs_edges(estimator.model):
-            raise NotImplementedError(
-                "DistributedTrainer shards flattened sample rows; graph "
-                "heads (SimpleGCN) need per-node adjacency — train them "
-                "single-process (the estimator's train() supports them)"
-            )
         self._est = estimator
         self._mesh = mesh or create_global_mesh()
         self._dp = NamedSharding(self._mesh, P("dp"))
@@ -124,6 +118,25 @@ class DistributedTrainer:
         self._step = estimator.step
         self._rows = estimator._batch_size * estimator._S
         self._D = estimator._D
+        # Graph heads (SimpleGCN): rows stay dp-sharded, and each
+        # process additionally contributes its nodes' segment adjacency
+        # (recomputed locally from the stored segmentation, exactly as
+        # the single-process _train_step does, estimator.py:364-373);
+        # the node axis is dp-sharded alongside the rows.
+        self._gcn = model_needs_edges(estimator.model)
+        if self._gcn:
+            import jax.numpy as jnp
+
+            from ..ops.segment_ops import adjacency_list
+
+            S, E = estimator._S, estimator._max_edges
+            self._E = E
+
+            @jax.jit
+            def _local_adjacency(seg):
+                return jax.vmap(lambda s: adjacency_list(s, S, max_edges=E))(seg)
+
+            self._local_adjacency = _local_adjacency
 
     @property
     def step_count(self) -> int:
@@ -151,20 +164,30 @@ class DistributedTrainer:
             idx is not None
             and est._mission_graph.get_num_valid_nodes() > est._min_samples_for_training
         )
+        B = est._batch_size
         if not ready:
+            edges = (
+                (np.zeros((B, 2, self._E), np.int32), np.zeros((B, self._E), bool))
+                if self._gcn else (None, None)
+            )
             return (
                 np.zeros((self._rows, self._D), np.float32),
                 np.zeros((self._rows,), np.float32),
                 np.zeros((self._rows,), bool),
                 np.zeros((self._rows,), bool),
+                *edges,
             )
         with est.lock:
             x, y, yv, sv = est._gather_batch(est._buffer, jnp.asarray(idx))
+            if self._gcn:
+                eb, evb = self._local_adjacency(est._buffer.seg[jnp.asarray(idx)])
+        edges = (np.asarray(eb), np.asarray(evb)) if self._gcn else (None, None)
         return (
             np.asarray(x).reshape(-1, self._D),
             np.asarray(y).reshape(-1),
             np.asarray(yv).reshape(-1),
             np.asarray(sv).reshape(-1),
+            *edges,
         )
 
     def step(self) -> dict:
@@ -172,13 +195,18 @@ class DistributedTrainer:
         over the global dp-sharded batch."""
         from ..utils.data import TravBatch
 
-        x, y, yv, sv = self._local_rows()
+        x, y, yv, sv, eb, evb = self._local_rows()
         batch = TravBatch(
             x=_to_global(x, self._dp),
             y=_to_global(y, self._dp),
             y_valid=_to_global(yv, self._dp),
             sample_valid=_to_global(sv, self._dp),
         )
+        if self._gcn:
+            # per-node adjacency rides the same dp axis (node-major rows)
+            batch = batch._replace(
+                edges=_to_global(eb, self._dp), edge_valid=_to_global(evb, self._dp)
+            )
         self._params, self._opt_state, self._cg_state, loss, aux = (
             self._est._train_step_on_batch(self._params, self._opt_state, self._cg_state, batch)
         )

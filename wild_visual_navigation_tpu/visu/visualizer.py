@@ -45,7 +45,12 @@ def colormap_rdylbu(values: np.ndarray, stretch: float = 1.0, squeeze: Optional[
     (visualizer.py:378-384): a 256-entry table whose first 128 rows
     sample palette positions [0, s] and last 128 rows sample [1-s, 1] —
     the yellow midband is removed, giving a hard red/blue decision
-    boundary at value 0.5."""
+    boundary at value 0.5.
+
+    squeeze and stretch are mutually exclusive remappings; passing both
+    raises (previously squeeze silently won)."""
+    if squeeze is not None and stretch != 1.0:
+        raise ValueError("colormap_rdylbu: pass either squeeze or stretch, not both")
     v = np.clip(np.nan_to_num(values, nan=0.0), 0.0, 1.0)
     if squeeze is not None:
         i = np.minimum((v * 255).astype(np.int32), 255)
