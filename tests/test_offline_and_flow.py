@@ -173,3 +173,58 @@ def test_online_export_feeds_offline_trainer(tmp_path):
     val = GraphTravDataset.from_folder(export, mode="val")
     result = trainer.fit(train, val if len(val) else train)
     assert result["best_checkpoint"] is not None and os.path.exists(result["best_checkpoint"])
+
+
+def test_shuffled_labels_control(tmp_path):
+    """GraphTravDataset.shuffled_labels breaks the feature<->label
+    association (control floor for the ablation sweep) while keeping
+    the label marginal; a model trained on it must NOT beat the model
+    trained on real labels."""
+    from dataclasses import replace
+
+    export = str(tmp_path / "export")
+    _make_export(export)
+    train = GraphTravDataset.from_folder(export, mode="train")
+    val = GraphTravDataset.from_folder(export, mode="val")
+    shuf = train.shuffled_labels(seed=1)
+    # marginal preserved, association broken
+    assert np.isclose(shuf.signal.mean(), train.signal.mean())
+    assert shuf.signal_valid.sum() == train.signal_valid.sum()
+    assert not np.array_equal(shuf.signal, train.signal)
+
+    cfg = OfflineTrainerConfig(
+        model_cfg={"name": "SimpleMLP", "simple_mlp_cfg": {"input_size": 8, "hidden_sizes": [16, 1], "reconstruction": True}},
+        epochs=30,
+    )
+    cfg.loss_cfg = replace(cfg.loss_cfg, w_reco=0.0, anomaly_balanced=False)
+    real = OfflineTrainer(cfg).fit(train, val)
+    control = OfflineTrainer(cfg).fit(shuf, val)
+    assert real["val_auroc"] > 0.9
+    assert real["val_auroc"] > control["val_auroc"] + 0.2
+
+
+@pytest.mark.slow
+def test_ablation_harness_torchvision_beats_control(tmp_path):
+    """Regression for the round-3 below-chance grid:torchvision row
+    (val AUROC 0.2498): the sweep's offline stage now runs the
+    reference's feature-ablation loss config (w_reco=0,
+    anomaly_balanced=False) and must beat its label-shuffle control."""
+    import csv
+    import subprocess
+    import sys as _sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "tools", "ablation_sweep.py")
+    res = subprocess.run(
+        [_sys.executable, script, "--combos", "grid:torchvision", "--duration", "8",
+         "--size", "64", "--epochs", "40", "--out", str(tmp_path)],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    with open(tmp_path / "ablation_results.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1 and not rows[0].get("error")
+    val_auroc = float(rows[0]["val_auroc"])
+    control = float(rows[0]["control_auroc"])
+    assert val_auroc > 0.8, f"torchvision row regressed: {rows[0]}"
+    assert val_auroc > control + 0.2, f"does not beat shuffle control: {rows[0]}"

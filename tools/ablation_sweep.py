@@ -23,6 +23,19 @@ Backbone weights are random-init in zero-egress environments, so
 absolute AUCs are not paper-comparable for dino/torchvision; the
 harness's product is the apparatus (identical to the reference's,
 which assumed downloaded checkpoints) and the relative table.
+
+The offline stage uses the reference's FEATURE-ABLATION loss config —
+w_reco=0.0, anomaly_balanced=False (pure supervised trav loss,
+/root/reference/.deprecated/cfg/exp/ablation/feature_threshold/*.yaml)
+— not the online loss (w_reco=0.5, anomaly-balanced). Round 3 ran the
+online config here, which starves the trav head on high-dim features:
+the reconstruction gradient is ~30x the trav gradient at D=960, so in
+a 200-step run the trav scores stayed flat (range ~0.13) and the
+residual tilt read as a below-chance AUROC (0.25 for grid:torchvision;
+a standardized logistic probe on the same export scores 1.0, proving
+the features and the export path were fine). Every row also reports a
+label-shuffle control (same trainer, permuted train labels) it must
+beat — regression-tested in tests/test_offline.py.
 """
 
 from __future__ import annotations
@@ -84,8 +97,14 @@ def run_one(seg: str, feat: str, args) -> dict:
     cfg = OfflineTrainerConfig(epochs=args.epochs)
     cfg.model_cfg["simple_mlp_cfg"]["input_size"] = D
     cfg.model_cfg["simple_mlp_cfg"]["hidden_sizes"] = [64, 32, 1]
+    # reference feature-ablation loss config (see module docstring)
+    from dataclasses import replace as _dc_replace
+
+    cfg.loss_cfg = _dc_replace(cfg.loss_cfg, w_reco=0.0, anomaly_balanced=False)
     trainer = OfflineTrainer(cfg)
     res = trainer.fit(train, val)
+    # label-shuffle control: identical trainer on permuted train labels
+    control = OfflineTrainer(cfg).fit(train.shuffled_labels(seed=1), val)
     return {
         "segmentation": seg,
         "feature": feat,
@@ -94,6 +113,7 @@ def run_one(seg: str, feat: str, args) -> dict:
         "online_train_steps": report.train_steps,
         "val_auroc": round(float(res.get("val_auroc", float("nan"))), 4),
         "val_acc": round(float(res.get("val_acc", float("nan"))), 4),
+        "control_auroc": round(float(control.get("val_auroc", float("nan"))), 4),
         "train_loss": round(float(res.get("train_loss", float("nan"))), 4),
         "wall_s": round(time.time() - t0, 1),
     }
@@ -105,7 +125,7 @@ def main() -> int:
                     help="comma list of segmentation:feature pairs")
     ap.add_argument("--duration", type=float, default=10.0)
     ap.add_argument("--size", type=int, default=64)
-    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--epochs", type=int, default=50)
     ap.add_argument("--out", type=str, default="results/ablations")
     args = ap.parse_args()
 
@@ -122,12 +142,25 @@ def main() -> int:
         print(f"  {json.dumps(rows[-1])}", flush=True)
 
     keys = ["segmentation", "feature", "feature_dim", "nodes_exported",
-            "online_train_steps", "val_auroc", "val_acc", "train_loss", "wall_s"]
+            "online_train_steps", "val_auroc", "val_acc", "control_auroc",
+            "train_loss", "wall_s"]
     with open(os.path.join(args.out, "ablation_results.csv"), "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=keys + ["error"])
         w.writeheader()
         w.writerows(rows)
     with open(os.path.join(args.out, "ablation_results.md"), "w") as f:
+        f.write(
+            "Feature x segmentation ablation (tools/ablation_sweep.py). Offline stage runs the\n"
+            "reference's feature-ablation loss config (w_reco=0, anomaly_balanced=False —\n"
+            "/root/reference/.deprecated/cfg/exp/ablation/feature_threshold/*.yaml), NOT the online\n"
+            "loss: the round-3 table ran the online config here and its reco-dominated gradient\n"
+            "left the trav head untrained on high-dim features (the grid:torchvision row read\n"
+            "0.25 AUROC from a flat score range; a logistic probe on the same export scores 1.0).\n"
+            "Backbones are random-init (zero egress), so absolute AUCs are not paper-comparable;\n"
+            "control_auroc is a label-shuffle control every row must beat. Controls scatter\n"
+            "around 0.5 (the val split is ~10 highly-correlated nodes), so read them as a noise\n"
+            "floor, not a calibrated 0.5.\n\n"
+        )
         f.write("| " + " | ".join(keys) + " |\n")
         f.write("|" + "---|" * len(keys) + "\n")
         for r in rows:

@@ -65,6 +65,22 @@ class GraphTravDataset:
             sample_valid=feat_valid[sl],
         )
 
+    def shuffled_labels(self, seed: int = 0) -> "GraphTravDataset":
+        """Label-shuffle control: permute (signal, signal_valid) jointly
+        across all (node, segment) positions, breaking the
+        feature<->label association while preserving the label marginal.
+        A model trained on this must score ~chance — the floor every
+        real ablation row has to beat (tools/ablation_sweep.py)."""
+        rng = np.random.RandomState(seed)
+        perm = rng.permutation(self.signal.size)
+        shape = self.signal.shape
+        return GraphTravDataset(
+            features=self.features,
+            signal=self.signal.reshape(-1)[perm].reshape(shape),
+            signal_valid=self.signal_valid.reshape(-1)[perm].reshape(shape),
+            sample_valid=self.sample_valid,
+        )
+
     def __len__(self) -> int:
         return self.features.shape[0]
 
