@@ -469,3 +469,33 @@ def test_runtime_with_simple_gcn():
     assert np.isfinite(report.final_loss) and report.final_loss > 0
     res = report.last_result
     assert res is not None and np.isfinite(np.asarray(res.traversability)).all()
+
+
+@pytest.mark.slow
+def test_soak_smoke(tmp_path):
+    """CI-scale soak (VERDICT r3 #3): a few hundred frames through the
+    full online loop must show ZERO post-warmup recompiles (the Q-padded
+    supervision flush — a varying scan length used to recompile when the
+    ring buffer first wrapped), bounded host RSS, a flat live-device-array
+    census, and a stable frame rate. The production-shape run is
+    tools/soak.py -> results/soak_r04.json."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "tools", "soak.py")
+    out = str(tmp_path / "soak.json")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    res = subprocess.run(
+        [_sys.executable, script, "--frames", "500", "--size", "64", "--window", "100",
+         "--pool", "6", "--warmup_windows", "2", "--out", out],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-2000:]
+    data = json.load(open(out))
+    assert data["ok_no_recompiles"], f"post-warmup recompiles: {data['post_warmup_recompiles']}"
+    assert data["ok_rss_bounded"] and data["ok_device_bounded"] and data["ok_rate_stable"], data
+    assert data["train_steps"] > 50 and data["supervision_updates"] > 50

@@ -205,19 +205,33 @@ class TraversabilityEstimator:
         self._build_jitted()
 
     def flush_supervision(self):
-        """Apply all queued footprint updates in one device program."""
+        """Apply all queued footprint updates in one device program.
+
+        The queue length is PADDED to the static `supervision_flush_every`
+        (pad entries use all-OOB slot indices, which scatter-drop — a
+        padded update is a no-op): a forced early flush (slot recycling,
+        resolve, export) would otherwise trace a new scan length Q and
+        recompile mid-mission — the soak harness (tools/soak.py) caught
+        exactly that, two recompiles firing only once the ring buffer
+        first wrapped."""
         with self._lock:
             if not self._pending_footprints:
                 return
             pending, self._pending_footprints = self._pending_footprints, []
-            idxs = np.stack([p[0] for p in pending])
-            fps = np.stack([p[1] for p in pending])
-            travs = np.asarray([p[2] for p in pending], np.float32)
-            self._buffer, counts = self._reproject_update(
-                self._buffer, jnp.asarray(idxs), jnp.asarray(fps), jnp.asarray(travs)
-            )
-            for (_, _, _, nodes), c in zip(pending, counts):
-                self._pending_supervision.append((nodes, c))
+            Q = self._flush_every
+            drop_idx = np.full((self._B_max,), self._buffer.capacity, np.int32)
+            zero_fp = np.zeros((_MAX_FOOTPRINT_POINTS, 3), np.float32)
+            for start in range(0, len(pending), Q):
+                chunk = pending[start : start + Q]
+                pad = Q - len(chunk)
+                idxs = np.stack([p[0] for p in chunk] + [drop_idx] * pad)
+                fps = np.stack([p[1] for p in chunk] + [zero_fp] * pad)
+                travs = np.asarray([p[2] for p in chunk] + [0.0] * pad, np.float32)
+                self._buffer, counts = self._reproject_update(
+                    self._buffer, jnp.asarray(idxs), jnp.asarray(fps), jnp.asarray(travs)
+                )
+                for (_, _, _, nodes), c in zip(chunk, counts):
+                    self._pending_supervision.append((nodes, c))
         # Bound the queue: while learning is paused (the only path that
         # resolves on cadence stops running) supervision keeps arriving
         # at 10-20 Hz — an unbounded list leaks device count arrays and
