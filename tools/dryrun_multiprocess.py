@@ -16,7 +16,17 @@ The parent verifies all ranks exit 0 and print the SAME checksum (the
 replicated state stayed consistent across hosts). This is the
 multi-host story SURVEY §2.4 asks for, validated without real hosts.
 
+--runtime runs the FULL PRODUCT RUNTIME per rank instead of bare
+estimators (VERDICT r3 #6): each process pumps its own synthetic
+camera sequence through WVNRuntime (image callbacks, rate gates,
+supervision reprojection, hot-swap cadence) with
+attach_distributed_trainer, so every learning tick is the collective
+global step. The parent asserts rank-identical param checksums AND
+per-rank inference liveness (a post-training frame must produce a
+finite traversability map from the swapped params).
+
 Usage: python tools/dryrun_multiprocess.py [--procs 2] [--devices 4]
+                                           [--runtime]
 Exit code 0 = OK. Also spawned by __graft_entry__.dryrun_multichip and
 tests/test_parallel.py.
 """
@@ -151,28 +161,102 @@ def child(rank: int, procs: int, devices: int, coord: str) -> None:
           f"checksum={checksum:.8f} starved_checksum={checksum2:.8f}", flush=True)
 
 
+def runtime_child(rank: int, procs: int, devices: int, coord: str) -> None:
+    """One camera group's FULL runtime loop under jax.distributed: the
+    per-process online system (callbacks, scheduler gates, supervision,
+    hot-swap cadence) with its learning ticks joined into the global
+    collective train step."""
+    from wild_visual_navigation_tpu.parallel.distributed import initialize_process
+
+    initialize_process(coord, procs, rank, cpu_devices=devices)
+
+    import jax
+    import numpy as np
+
+    from wild_visual_navigation_tpu.cfg import (
+        ExperimentParams,
+        FeatureExtractorNodeParams,
+        LearningNodeParams,
+    )
+    from wild_visual_navigation_tpu.runtime import WVNRuntime, run_replay, synthetic_sequence
+
+    size = 48
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=size, network_input_image_width=size,
+        segmentation_type="grid", feature_type="sift", prediction_per_pixel=False,
+        image_callback_rate=1000.0, grid_cell_size=8,
+    )
+    ln = LearningNodeParams(
+        network_input_image_height=size, network_input_image_width=size,
+        image_graph_dist_thr=0.1, supervision_graph_dist_thr=0.05,
+        min_samples_for_training=3, supervision_callback_rate=1000.0,
+        load_save_checkpoint_rate=2.0,  # hot-swap every ~5 learning ticks
+    )
+    exp = ExperimentParams()
+    exp.model.simple_mlp_cfg.hidden_sizes = [32, 1]
+    # identical seed -> identical init across ranks (DistributedTrainer
+    # promotes local state to replicated global arrays)
+    rt = WVNRuntime(fe_params=fe, ln_params=ln, exp_params=exp,
+                    key=jax.random.PRNGKey(0), buffer_capacity=32, reprojection_fanout=8)
+    rt.attach_distributed_trainer()
+
+    # Per-rank camera sequence (different world texture/noise, same
+    # event cadence -> every rank reaches learning ticks in lockstep;
+    # the ticks are collective).
+    seq = synthetic_sequence(duration=4.0, frame_rate=5.0, state_rate=5.0,
+                             image_size=size, seed=100 + rank)
+    report = run_replay(rt, seq, train_every_state=1)
+    assert report.frames_processed > 3, f"rank {rank}: runtime processed too few frames"
+    assert rt._dist_trainer.step_count >= 15, rt._dist_trainer.step_count
+
+    rt.hot_swap()  # sync the replicated params into the local estimator + mailbox
+
+    # inference liveness from the swapped params: one more frame through
+    # the product image path must yield a finite traversability map
+    frame = seq.frames[-1]
+    res = rt.image_callback(frame.image, frame.stamp + 100.0, frame.camera, frame.K,
+                            frame.image.shape[1], frame.image.shape[2],
+                            frame.pose_base_in_world, frame.pose_cam_in_base)
+    assert res is not None, f"rank {rank}: post-training frame was gated"
+    trav = np.asarray(res.traversability)
+    assert np.isfinite(trav).all() and trav.shape == (size, size)
+
+    checksum = float(sum(np.abs(np.asarray(l)).sum()
+                         for l in jax.tree_util.tree_leaves(rt.estimator.params)))
+    print(f"[rank {rank}] RUNTIME OK steps={rt._dist_trainer.step_count} "
+          f"frames={report.frames_processed} loss={report.final_loss:.6f} "
+          f"checksum={checksum:.8f}", flush=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--devices", type=int, default=4, help="virtual CPU devices per process")
     ap.add_argument("--timeout", type=float, default=240.0)
+    ap.add_argument("--runtime", action="store_true",
+                    help="drive the full WVNRuntime per rank instead of bare estimators")
     ap.add_argument("--rank", type=int, default=None, help="(internal) run as this child rank")
     ap.add_argument("--coord", type=str, default=None)
     args = ap.parse_args()
 
     if args.rank is not None:
-        child(args.rank, args.procs, args.devices, args.coord)
+        if args.runtime:
+            runtime_child(args.rank, args.procs, args.devices, args.coord)
+        else:
+            child(args.rank, args.procs, args.devices, args.coord)
         return 0
 
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
+    marker = "RUNTIME OK" if args.runtime else "DISTRIBUTED OK"
     procs = []
     for rank in range(args.procs):
         procs.append(subprocess.Popen(
             [sys.executable, __file__, "--rank", str(rank), "--procs", str(args.procs),
-             "--devices", str(args.devices), "--coord", coord],
+             "--devices", str(args.devices), "--coord", coord]
+            + (["--runtime"] if args.runtime else []),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         ))
     outs, rcs = [], []
@@ -187,7 +271,7 @@ def main() -> int:
 
     checksums = []
     for rank, (rc, out) in enumerate(zip(rcs, outs)):
-        ok_lines = [l for l in out.splitlines() if "DISTRIBUTED OK" in l]
+        ok_lines = [l for l in out.splitlines() if marker in l]
         if rc != 0 or not ok_lines:
             print(f"--- rank {rank} FAILED (rc={rc}) ---\n{out[-3000:]}")
             return 1
@@ -196,7 +280,9 @@ def main() -> int:
     if len(set(checksums)) != 1:
         print(f"checksum mismatch across ranks: {checksums}")
         return 1
-    print(f"multiprocess dryrun OK: {args.procs} procs x {args.devices} devices, replicated state consistent")
+    mode = "runtime" if args.runtime else "estimator"
+    print(f"multiprocess {mode} dryrun OK: {args.procs} procs x {args.devices} devices, "
+          "replicated state consistent")
     return 0
 
 
