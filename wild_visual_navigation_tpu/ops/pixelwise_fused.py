@@ -121,21 +121,12 @@ def supports_fused(mlp_params, feat_shape, out_h: int, out_w: int) -> bool:
     return (in_bytes + out_bytes) * 2 <= 12_000_000
 
 
-def pixelwise_score_fused(
-    mlp_params,
-    feat: jnp.ndarray,
-    out_h: int,
-    out_w: int,
-    interpret: bool | None = None,
-):
-    """feat (B, D, Hp, Wp) -> (trav, reco), each (B, out_h, out_w) fp32.
+def fused_precompute(mlp_params, feat: jnp.ndarray, out_h: int, out_w: int):
+    """The XLA stage of the fused scorer: every patch-H-resolution
+    operand the Pallas kernel consumes (split out so
+    benchmarks/exp_px_decompose.py can time precompute vs kernel).
 
-    reco is the per-pixel reconstruction MSE (before confidence
-    calibration — apply confidence_inference outside; it is elementwise
-    and fuses in XLA). Caller must check supports_fused() first.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    Returns (operands tuple, (K1, K, ny, nx, out_h_pad, Wpad))."""
     B, D, Hp, Wp = feat.shape
     p = mlp_params["params"]
     names = sorted((k for k in p if k.startswith("Dense_")), key=lambda k: int(k.split("_")[1]))
@@ -212,6 +203,28 @@ def pixelwise_score_fused(
     consts = jnp.asarray([[bl32[0], br @ br]], jnp.float32)
     W1T = W1.astype(jnp.bfloat16).T  # (K, K1)
     b1c = b1.astype(jnp.float32).reshape(K, 1)
+
+    return (starts, coef, hw, zsts, W1T, b1c, GT, v, consts), (K1, K, ny, nx, out_h_pad, Wpad)
+
+
+def pixelwise_score_fused(
+    mlp_params,
+    feat: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    interpret: bool | None = None,
+):
+    """feat (B, D, Hp, Wp) -> (trav, reco), each (B, out_h, out_w) fp32.
+
+    reco is the per-pixel reconstruction MSE (before confidence
+    calibration — apply confidence_inference outside; it is elementwise
+    and fuses in XLA). Caller must check supports_fused() first.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, D, Hp, Wp = feat.shape
+    operands, (K1, K, ny, nx, out_h_pad, Wpad) = fused_precompute(mlp_params, feat, out_h, out_w)
+    starts, coef, hw, zsts, W1T, b1c, GT, v, consts = operands
 
     kernel = partial(_score_kernel, C=_C, Xw=_LANES, K1=K1, K=K, D=D, ny=ny)
     grid = (B, nx)
