@@ -497,5 +497,6 @@ def test_soak_smoke(tmp_path):
     assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-2000:]
     data = json.load(open(out))
     assert data["ok_no_recompiles"], f"post-warmup recompiles: {data['post_warmup_recompiles']}"
-    assert data["ok_rss_bounded"] and data["ok_device_bounded"] and data["ok_rate_stable"], data
+    assert data["host_bound_mode"] == "rss"  # CPU backend: raw RSS is the enforced bound
+    assert data["ok_host_bounded"] and data["ok_device_bounded"] and data["ok_rate_stable"], data
     assert data["train_steps"] > 50 and data["supervision_updates"] > 50

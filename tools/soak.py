@@ -8,9 +8,21 @@ the properties hours-long missions need (the reference's whole point,
 
   * ZERO post-warmup recompiles (counted via jax.monitoring
     backend_compile events — any shape leak shows up here);
-  * bounded HOST memory: RSS growth after warmup stays under
-    --rss-budget-mb (graph FIFO eviction, estimator.py:140-151, is
-    what bounds it);
+  * bounded HOST memory: on the CPU backend (CI), raw RSS growth after
+    warmup stays under --rss-budget-mb (graph FIFO eviction,
+    estimator.py:140-151, is what bounds it). Through the axon TUNNEL,
+    raw RSS is reported but NOT the enforced bound: the relay client
+    retains ~1x the payload of host staging memory per host->device
+    upload plus ~14 KB per dispatch (measured reproducer:
+    benchmarks/exp_relay_upload_leak.py — unaffected by array deletion
+    or buffer reuse, absent on real TPU hosts). There the enforced
+    bound is tracemalloc growth (--py-budget-mb): every allocation the
+    FRAMEWORK makes (Python objects + numpy buffers, which numpy
+    reports via PyTraceMalloc_Track) must stay flat. To keep even raw
+    RSS representative, --device-pool (default through the tunnel)
+    uploads the frame pool once and feeds resident device arrays to
+    image_callback, removing the dominant 591 KB/frame payload leak
+    from the loop;
   * bounded DEVICE memory: the byte-sum of live jax arrays is flat
     after warmup (the ring buffer + params; a leaked device array per
     frame would grow it linearly). The axon relay exposes no HBM
@@ -57,6 +69,8 @@ def _rss_mb() -> float:
 
 
 def run_soak(args) -> dict:
+    import tracemalloc
+
     import jax
 
     compile_events = [0]
@@ -112,7 +126,16 @@ def run_soak(args) -> dict:
         T[:2, :2] = [[c, -s], [s, c]]
         img = world.render(pose=T)
         pool.append(np.clip(img * 255, 0, 255).astype(np.uint8))
-    print(f"rendered pool of {len(pool)} {size}px frames", flush=True)
+    on_cpu = jax.devices()[0].platform == "cpu"
+    device_pool = (not on_cpu) if args.device_pool == "auto" else args.device_pool == "on"
+    if device_pool:
+        # one upload per pool frame, then resident device arrays — the
+        # relay's per-upload staging leak (exp_relay_upload_leak.py)
+        # stays out of the per-frame loop
+        pool = [jax.device_put(p) for p in pool]
+        jax.block_until_ready(pool)
+    print(f"rendered pool of {len(pool)} {size}px frames "
+          f"(device_pool={device_pool})", flush=True)
 
     K = np.array([[0.6 * size, 0, size / 2], [0, 0.6 * size, size / 2], [0, 0, 1.0]])
     down = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
@@ -141,6 +164,7 @@ def run_soak(args) -> dict:
     frames_done = 0
     supervision_done = 0
     gated = 0
+    tracemalloc.start(1)  # framework-side (Python+numpy) allocation census
     t_window0 = time.time()
     compiles_at_window0 = compile_events[0]
     while frames_done < args.frames:
@@ -170,6 +194,7 @@ def run_soak(args) -> dict:
                 "frames": frames_done,
                 "fps": round(n_in_window / dt, 2),
                 "rss_mb": round(_rss_mb(), 1),
+                "py_mb": round(tracemalloc.get_traced_memory()[0] / 2**20, 1),
                 "live_device_mb": round(sum(a.nbytes for a in jax.live_arrays()) / 2**20, 1),
                 "compiles": compile_events[0],
                 "estimator_step": rt.estimator.step,
@@ -185,14 +210,22 @@ def run_soak(args) -> dict:
     assert len(post) >= 2, "soak too short for post-warmup verdicts; raise --frames"
     recompiles = post[-1]["compiles"] - post[0]["compiles"]
     rss_growth = post[-1]["rss_mb"] - post[0]["rss_mb"]
+    py_growth = post[-1]["py_mb"] - post[0]["py_mb"]
     dev_growth = post[-1]["live_device_mb"] - post[0]["live_device_mb"]
     rates = [w["fps"] for w in post]
     rate_floor = args.rate_floor * float(np.median(rates))
+    # Host-bound enforcement: raw RSS on the CPU backend; through the
+    # axon tunnel the relay client leaks per dispatch/upload (see
+    # module docstring + benchmarks/exp_relay_upload_leak.py), so the
+    # framework-attributable bound is the tracemalloc census.
+    host_bound_mode = "rss" if on_cpu else "tracemalloc(relay)"
+    ok_host = (rss_growth < args.rss_budget_mb) if on_cpu else (py_growth < args.py_budget_mb)
     result = {
         "config": {
             "frames": args.frames, "size": size, "cameras": args.cameras,
             "seg": args.seg, "feature": args.feature,
             "buffer_capacity": args.buffer_capacity, "window": args.window,
+            "device_pool": device_pool,
         },
         "device": str(jax.devices()[0]),
         "frames_done": frames_done,
@@ -203,14 +236,24 @@ def run_soak(args) -> dict:
         "windows": windows,
         "post_warmup_recompiles": recompiles,
         "rss_growth_mb": round(rss_growth, 1),
+        "py_growth_mb": round(py_growth, 1),
         "device_growth_mb": round(dev_growth, 1),
+        "host_bound_mode": host_bound_mode,
         "fps_median": round(float(np.median(rates)), 2),
         "fps_last": rates[-1],
         "ok_no_recompiles": recompiles == 0,
-        "ok_rss_bounded": rss_growth < args.rss_budget_mb,
+        "ok_host_bounded": ok_host,
         "ok_device_bounded": abs(dev_growth) < args.device_budget_mb,
         "ok_rate_stable": rates[-1] >= rate_floor,
     }
+    if not on_cpu:
+        result["relay_note"] = (
+            "raw RSS through the axon tunnel includes the relay client's "
+            "per-dispatch host staging retention (~14 KB/dispatch, plus "
+            "~payload bytes per fresh upload when device_pool is off) — "
+            "reproducer: benchmarks/exp_relay_upload_leak.py; absent on "
+            "real TPU hosts, so rss_growth_mb is reported, not enforced"
+        )
     result["ok"] = all(v for k, v in result.items() if k.startswith("ok_"))
     return result
 
@@ -227,6 +270,11 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=500, help="frames per stats window")
     ap.add_argument("--warmup_windows", type=int, default=2)
     ap.add_argument("--rss-budget-mb", type=float, default=300.0)
+    ap.add_argument("--py-budget-mb", type=float, default=80.0,
+                    help="tracemalloc growth budget (the enforced host bound through the tunnel)")
+    ap.add_argument("--device-pool", type=str, default="auto", choices=["auto", "on", "off"],
+                    help="upload the frame pool once and feed resident device arrays "
+                         "(auto: on through the tunnel, off on the CPU backend)")
     ap.add_argument("--device-budget-mb", type=float, default=64.0)
     ap.add_argument("--rate-floor", type=float, default=0.7)
     ap.add_argument("--out", type=str, default="results/soak_r04.json")
