@@ -228,3 +228,38 @@ def test_ablation_harness_torchvision_beats_control(tmp_path):
     control = float(rows[0]["control_auroc"])
     assert val_auroc > 0.8, f"torchvision row regressed: {rows[0]}"
     assert val_auroc > control + 0.2, f"does not beat shuffle control: {rows[0]}"
+
+
+def test_param_search_trial0_matches_sequential_trainer():
+    """tools/param_search.py's vmapped population must be numerically
+    the SAME training as OfflineTrainer run sequentially: trial 0 is
+    pinned to the production defaults (lr 1e-3, w_trav 0.03, w_reco
+    0.5, anomaly_balanced True), shares its init key (PRNGKey(seed)),
+    its optax.adam chain (scale_by_adam + scale(-lr)), and its batch
+    shuffle stream (RandomState(seed)) — so the final val scores must
+    agree to fp32 tolerance. Also: the search must beat the default on
+    separable synthetic data (the whole point of sweeping)."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+    from tools.param_search import evaluate_population, make_synth, population_fit, sample_space
+    from wild_visual_navigation_tpu.offline.trainer import OfflineTrainer, OfflineTrainerConfig
+
+    train, val = make_synth(n_nodes=24, n_seg=4, dim=12, seed=3)
+    lr, wt, wr = sample_space(6, seed=42)
+    scores, losses, _ = population_fit(
+        train, val, lr, wt, wr, epochs=8, batch_size=4, seed=42, anomaly_balanced=True,
+    )
+
+    cfg = OfflineTrainerConfig(epochs=8, batch_size=4, seed=42)
+    cfg.model_cfg["simple_mlp_cfg"]["input_size"] = 12
+    trainer = OfflineTrainer(cfg)
+    trainer.fit(train)
+    seq = np.asarray(trainer._predict(trainer.params, jnp.asarray(val.features)))
+    np.testing.assert_allclose(scores[0], seq, rtol=2e-3, atol=2e-4)
+
+    metrics = evaluate_population(scores, val)
+    aurocs = [m["val_auroc"] for m in metrics]
+    assert max(aurocs) >= aurocs[0] - 1e-9  # best never loses to the default
+    assert max(aurocs) > 0.8, aurocs  # separable data: the sweep finds a working config
