@@ -221,3 +221,54 @@ def test_yaml_config_files():
     assert fe.segmentation_type == "slic" and fe.network_input_image_height == 224
     ln = dataclass_from_yaml(LearningNodeParams(), "configs/learning_default.yaml")
     assert ln.traversability_radius == 3.0 and ln.learning_thread_rate == 10.0
+
+
+def test_generate_dataset_tool(tmp_path):
+    """tools/generate_dataset.py (the reference's dataset_generation
+    surface: create_gnn_dataset.py + extract_features_for_dataset.py +
+    create_train_val_test_lists.py): image folder -> per-image graph
+    records with segment features, STEGO majority labels, adjacency,
+    KLT correspondences into the next frame, and the 80/20 + every-Nth
+    split lists."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    import numpy as np
+    from PIL import Image
+
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rng.rand(72, 72, 3) * 255).astype(np.uint8)).save(imgs / f"im{i}.png")
+
+    script = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "tools", "generate_dataset.py")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    res = subprocess.run(
+        [_sys.executable, script, "--images", str(imgs), "--name", "t", "--out",
+         str(tmp_path / "ds"), "--size", "64", "--feature", "sift",
+         "--labels", "stego", "--slic_components", "16", "--every_n_test", "2"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+
+    base = tmp_path / "ds" / "t"
+    recs = sorted(base.glob("graph_*.npz"))
+    assert len(recs) == 4
+    d = np.load(recs[0])
+    S = d["feat"].shape[0]
+    assert S == 16 and d["feat"].shape[1] == 384
+    assert d["seg"].shape == (64, 64) and d["seg"].max() < S
+    assert d["label"].shape == (S,) and (d["label"] >= 0).any()  # stego classes
+    assert d["centers"].shape == (S, 2) and d["flow_next"].shape == (S, 2)
+    last = np.load(recs[-1])
+    assert not last["flow_good"].any()  # no next frame to track into
+
+    meta = json.load(open(base / "meta.json"))
+    assert meta["splits"] == {"train": 3, "val": 1, "test": 2}
+    train = (base / "t_train.txt").read_text().split()
+    val = (base / "t_val.txt").read_text().split()
+    assert len(train) == 3 and len(val) == 1 and not set(train) & set(val)
