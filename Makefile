@@ -3,7 +3,7 @@
 
 PYTEST ?= python -m pytest
 
-.PHONY: test test-fast bench dryrun lint
+.PHONY: test test-fast bench bench-all soak dryrun lint
 
 test:
 	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu $(PYTEST) tests/ -q
@@ -13,6 +13,14 @@ test-fast:
 
 bench:
 	timeout 600 python bench.py
+
+# Every README performance claim, one regenerable artifact (results/bench_r04.json).
+bench-all:
+	timeout 4800 python benchmarks/bench_all.py
+
+# Long-horizon soak at production shape (results/soak_r04.json).
+soak:
+	timeout 3600 python tools/soak.py
 
 dryrun:
 	python __graft_entry__.py

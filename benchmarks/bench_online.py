@@ -182,7 +182,8 @@ def main():
             "train": round(1 / t_train, 1),
         },
     }
-    print(json.dumps(result, indent=2))
+    # ONE JSON line so benchmarks/bench_all.py can consume it.
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
