@@ -142,7 +142,11 @@ def main():
     def pipeline_pixelwise(vp, mp, imgs):  # (SCAN, B, 3, H, W)
         def body(carry, im):
             t, c = one_batch_pixelwise(vp, mp, im + carry * 1e-12)
-            return t[0, 0, 0] + c[0, 0, 0], (t[:, 0, 0], c[:, 0, 0])
+            # full-map sums: a single-pixel fence would let XLA narrow
+            # any non-Pallas scoring path to the fenced pixel (the
+            # pallas_call itself is opaque either way). Sum magnitude
+            # ~B*H*W*0.5 -> *1e-12 keeps the image perturbation < 1e-5.
+            return jnp.sum(t) + jnp.sum(c), (t[:, 0, 0], c[:, 0, 0])
 
         _, outs = jax.lax.scan(body, jnp.zeros(()), imgs)
         return outs[0]
@@ -162,7 +166,8 @@ def main():
         def pipeline(vp, mp, imgs):
             def body(carry, im):
                 t = one_batch(vp, mp, im + carry * 1e-12)
-                return t[0, 0, 0], t[:, 0, 0]
+                # full-map sum fence (see pipeline_pixelwise)
+                return jnp.sum(t), t[:, 0, 0]
 
             _, outs = jax.lax.scan(body, jnp.zeros(()), imgs)
             return outs

@@ -32,6 +32,21 @@ B = 4
 ROUNDS = 4
 
 
+def _fence_all(res):
+    """Reduce EVERY FrameResult field to one scalar. Fencing only
+    traversability[:, 0, 0] (the r3 form) let XLA dead-code-eliminate
+    the k-means / segment / confidence branches that never feed that
+    one pixel — the stego number it produced (61.4 img/s) was a
+    backbone-only measurement (exp_stego_decompose.py: full == backbone
+    to 0.1 ms). Production consumes every field, so the bench must."""
+    import jax.numpy as jnp
+
+    vals = (res.traversability, res.confidence, res.features,
+            res.feat_valid, res.segments, res.edges, res.edge_valid,
+            res.centers)
+    return sum(jnp.sum(v.astype(jnp.float32)) for v in vals)
+
+
 def _measure(fn, params_fn, gen, iters):
     import jax.numpy as jnp
 
@@ -82,7 +97,7 @@ def main():
 
     def stego_call(sp, mp, st, imgs):
         res = stego_fn.frames_batch(sp, mp, st, imgs)
-        return res.traversability[:, 0, 0]
+        return _fence_all(res)
 
     rate, rounds = _measure(
         jax.jit(stego_call),
@@ -109,7 +124,7 @@ def main():
 
     def tv_call(tp, mp, st, imgs):
         res = tv_fn.frames_batch(tp, mp, st, imgs)
-        return res.traversability[:, 0, 0]
+        return _fence_all(res)
 
     rate, rounds = _measure(
         jax.jit(tv_call), lambda: (tv.params, mp_tv, cg_state), gen, iters=10,
@@ -125,14 +140,15 @@ def main():
     rnvp = get_model({"name": "LinearRnvp",
                       "linear_rnvp_cfg": {"input_size": di.feature_dim}})
     rp = rnvp.init(jax.random.PRNGKey(4), jnp.zeros((1, di.feature_dim)))
+    n_cells = (-(-SIZE // 32)) ** 2  # grid cell count — what production passes
     an_fn = build_fused_frame_fn(
         di.vit, rnvp, cg_cfg, input_size=SIZE, segmentation_type="grid",
-        anomaly=True, jit_compile=False,
+        num_segments=n_cells, anomaly=True, jit_compile=False,
     )
 
     def an_call(vp, mp, st, imgs):
         res = an_fn.frames_batch(vp, mp, st, imgs)
-        return res.traversability[:, 0, 0]
+        return _fence_all(res)
 
     rate, rounds = _measure(
         jax.jit(an_call), lambda: (di.params, rp, cg_state), gen, iters=10,

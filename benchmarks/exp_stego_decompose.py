@@ -41,27 +41,34 @@ EXPS_PER_SEC = 1.1e11  # VPU transcendental rate (README dino floor note)
 MATMUL_TFLOPS = 97.0   # sustained on ViT shapes (exp_matmul_shapes.py)
 
 
-def measure_ms(fn, gen, iters, rounds=None):
-    """Median ms/call, chained + value-fenced (relay-safe)."""
+def measure_ms(fn, params_fn, gen, iters, rounds=None):
+    """Median ms/call, chained + value-fenced (relay-safe). Model
+    params flow through params_fn as jit ARGUMENTS — closing over them
+    bakes ~344 MB of ViT-B literals into the serialized HLO and blows
+    the remote compiler's request-size limit (HTTP 413)."""
     import jax.numpy as jnp
 
     rounds = ROUNDS if rounds is None else rounds
 
     base = gen()
-    out = fn(base)
+    out = fn(*params_fn(), base)
     float(jnp.asarray(out).ravel()[0])
     med = []
     for r in range(rounds):
         carry = jnp.zeros(())
         t0 = time.time()
         for i in range(iters):
-            out = fn(base + carry * 1e-12 + i * 1e-9)
+            out = fn(*params_fn(), base + carry * 1e-12 + i * 1e-9)
             carry = jnp.asarray(out).ravel()[0]
         float(carry)
         dt = time.time() - t0
         if r > 0:
             med.append(dt / iters * 1e3)
     return round(statistics.median(med), 2)
+
+
+def _no_params():
+    return ()
 
 
 def main():
@@ -117,26 +124,43 @@ def main():
     fused = build_fused_stego_frame_fn(stego, mlp, cg_cfg, SIZE, jit_compile=False)
     bp, hpar = stego.backbone_params, stego.head_params
 
-    full = jax.jit(lambda img: fused.frames_batch((bp, hpar), mp, cg_state, img)
-                   .traversability[:, 0, 0])
-    results["full_ms"] = measure_ms(full, gen_img, iters=6)
+    def fence_all(res):
+        # every FrameResult field: a trav-only fence lets XLA dead-code-
+        # eliminate k-means/segments/confidence (stage "full_trav_only")
+        vals = (res.traversability, res.confidence, res.features,
+                res.feat_valid, res.segments, res.edges, res.edge_valid,
+                res.centers)
+        return sum(jnp.sum(v.astype(jnp.float32)) for v in vals)
+
+    full = jax.jit(lambda bp_, hp_, mp_, cg_, img: fence_all(
+        fused.frames_batch((bp_, hp_), mp_, cg_, img)))
+    results["full_ms"] = measure_ms(
+        full, lambda: (bp, hpar, mp, cg_state), gen_img, iters=6)
+
+    # the r3 bench's fence, kept to pin how much work DCE removed
+    full_trav = jax.jit(lambda bp_, hp_, mp_, cg_, img: fused.frames_batch(
+        (bp_, hp_), mp_, cg_, img).traversability[:, 0, 0])
+    results["full_trav_only_ms"] = measure_ms(
+        full_trav, lambda: (bp, hpar, mp, cg_state), gen_img, iters=6)
 
     # ---- 2. backbone only (resize + normalize + ViT-B/8) ----
     vit = stego.vit
 
-    def backbone(img):
+    def backbone(bp_, img):
         x = imagenet_normalize(resize_image(img, SIZE, SIZE))
-        return jnp.sum(vit.apply(bp, x)["patch_tokens"], axis=(1, 2))
+        return jnp.sum(vit.apply(bp_, x)["patch_tokens"], axis=(1, 2))
 
-    results["backbone_ms"] = measure_ms(jax.jit(backbone), gen_img, iters=6)
+    results["backbone_ms"] = measure_ms(
+        jax.jit(backbone), lambda: (bp,), gen_img, iters=6)
 
     # ---- 3. backbone + STEGO code head (delta = head cost) ----
-    def bb_head(img):
+    def bb_head(bp_, hp_, img):
         x = imagenet_normalize(resize_image(img, SIZE, SIZE))
-        tok = vit.apply(bp, x)["patch_tokens"]
-        return jnp.sum(stego.head.apply(hpar, tok)["code"], axis=(1, 2))
+        tok = vit.apply(bp_, x)["patch_tokens"]
+        return jnp.sum(stego.head.apply(hp_, tok)["code"], axis=(1, 2))
 
-    results["backbone_head_ms"] = measure_ms(jax.jit(bb_head), gen_img, iters=6)
+    results["backbone_head_ms"] = measure_ms(
+        jax.jit(bb_head), lambda: (bp, hpar), gen_img, iters=6)
 
     # ---- 4. per-image k-means on fixed codes ----
     codes = jax.random.normal(jax.random.PRNGKey(2), (B, hp * hp, 90))
@@ -146,16 +170,17 @@ def main():
         lab = jax.vmap(lambda ci, k: cosine_kmeans(ci, k, n_clusters=20)[0])(c, keys)
         return jnp.sum(lab)
 
-    results["kmeans_ms"] = measure_ms(jax.jit(kmeans), lambda: codes, iters=20)
+    results["kmeans_ms"] = measure_ms(jax.jit(kmeans), _no_params, lambda: codes, iters=20)
 
     # ---- 5. segment pooling + adjacency + centers on a fixed seg ----
     seg_p = jax.random.randint(jax.random.PRNGKey(3), (hp, hp), 0, 20)
 
     def segops(c):
+        """The r3 tail: adjacency + centroids on the 448x448 upsampled map."""
         def one(ci):
             chw = ci.reshape(hp, hp, 90).transpose(2, 0, 1)
             pooled, counts = segment_ops.segment_mean_pool(chw, seg_p, 20)
-            iy = jnp.clip((jnp.arange(SIZE) * hp) // SIZE, 0, hp - 1)
+            iy = (jnp.arange(SIZE) * hp) // SIZE
             seg = seg_p[iy, :][:, iy]
             edges, ev = segment_ops.adjacency_list(seg, 20, max_edges=1024)
             centers, cv = segment_ops.segment_centers(seg, 20)
@@ -163,15 +188,32 @@ def main():
 
         return jnp.sum(jax.vmap(one)(c))
 
-    results["segment_ops_ms"] = measure_ms(jax.jit(segops), lambda: codes, iters=20)
+    results["segment_ops_fullres_ms"] = measure_ms(
+        jax.jit(segops), _no_params, lambda: codes, iters=20)
+
+    def segops_blocked(c):
+        """The production tail since r4: patch-res adjacency + block-
+        weighted centroids (exact; ops/segment_ops.py)."""
+        def one(ci):
+            chw = ci.reshape(hp, hp, 90).transpose(2, 0, 1)
+            pooled, counts = segment_ops.segment_mean_pool(chw, seg_p, 20)
+            edges, ev, centers, cv = segment_ops.upsampled_adjacency_and_centers(
+                seg_p, 20, SIZE, SIZE, max_edges=1024)
+            return jnp.sum(pooled) + jnp.sum(edges) + jnp.sum(centers)
+
+        return jnp.sum(jax.vmap(one)(c))
+
+    results["segment_ops_blocked_ms"] = measure_ms(
+        jax.jit(segops_blocked), _no_params, lambda: codes, iters=20)
 
     # ---- 6. fused per-pixel scoring from the 90-d code grid ----
-    def score(c):
+    def score(mp_, cg_, c):
         chw = c.reshape(B, hp, hp, 90).transpose(0, 3, 1, 2)
-        trav, conf = pixelwise_score(mp, chw, SIZE, SIZE, cg_cfg, cg_state, optimized=True)
-        return jnp.sum(trav[:, 0, 0])
+        trav, conf = pixelwise_score(mp_, chw, SIZE, SIZE, cg_cfg, cg_, optimized=True)
+        return jnp.sum(trav) + jnp.sum(conf)
 
-    results["pixelwise_score_ms"] = measure_ms(jax.jit(score), lambda: codes, iters=20)
+    results["pixelwise_score_ms"] = measure_ms(
+        jax.jit(score), lambda: (mp, cg_state), lambda: codes, iters=20)
 
     # ---- 7. optional CRF refinement (off by default in production) ----
     from wild_visual_navigation_tpu.ops.crf import crf_refine_labels
@@ -182,7 +224,7 @@ def main():
     def crf(g):
         return jnp.sum(crf_refine_labels(seg_full, g, 20))
 
-    results["crf_per_image_ms"] = measure_ms(jax.jit(crf), lambda: img1, iters=5)
+    results["crf_per_image_ms"] = measure_ms(jax.jit(crf), _no_params, lambda: img1, iters=5)
 
     # ---- floors ----
     flops = 12 * (12 * D * D * S_seq + 4 * S_seq * S_seq * D)
@@ -218,18 +260,19 @@ def main():
         v = make_vit("dino", "vit_base", 8,
                      attention_impl=f"flash:{blk}:{blk}", dtype=jnp.bfloat16)
 
-        def bb(img, v=v):
+        def bb(bp_, img, v=v):
             x = imagenet_normalize(resize_image(img, SIZE, SIZE))
-            return jnp.sum(v.apply(bp, x)["patch_tokens"], axis=(1, 2))
+            return jnp.sum(v.apply(bp_, x)["patch_tokens"], axis=(1, 2))
 
-        sweep[f"flash_{blk}"] = measure_ms(jax.jit(bb), gen_img, iters=6)
+        sweep[f"flash_{blk}"] = measure_ms(
+            jax.jit(bb), lambda: (bp,), gen_img, iters=6)
     v = make_vit("dino", "vit_base", 8, attention_impl="xla", dtype=jnp.bfloat16)
 
-    def bb_xla(img):
+    def bb_xla(bp_, img):
         x = imagenet_normalize(resize_image(img, SIZE, SIZE))
-        return jnp.sum(v.apply(bp, x)["patch_tokens"], axis=(1, 2))
+        return jnp.sum(v.apply(bp_, x)["patch_tokens"], axis=(1, 2))
 
-    sweep["xla"] = measure_ms(jax.jit(bb_xla), gen_img, iters=6)
+    sweep["xla"] = measure_ms(jax.jit(bb_xla), lambda: (bp,), gen_img, iters=6)
     results["backbone_block_sweep_ms"] = sweep
 
     print(json.dumps(results, indent=1))

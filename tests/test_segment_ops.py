@@ -111,3 +111,90 @@ def test_adjacency_list_rejects_pixelwise_scale():
     seg = jnp.zeros((4, 4), jnp.int32)
     with pytest.raises(ValueError, match="46339"):
         segment_ops.adjacency_list(seg, 50176, max_edges=8)
+
+
+@pytest.mark.parametrize("hw,phw", [((448, 448), (56, 56)), ((100, 90), (7, 13)), ((56, 56), (56, 56))])
+def test_upsampled_adjacency_and_centers_matches_fullres(hw, phw):
+    """Patch-res adjacency + block-weighted centroids must equal
+    adjacency_list + segment_centers run on the nearest-upsampled map,
+    for divisible and non-divisible target sizes alike."""
+    H, W = hw
+    hp, wp = phw
+    S = 20
+    seg_p = jax.random.randint(jax.random.PRNGKey(0), (hp, wp), 0, S).astype(jnp.int32)
+
+    iy = (jnp.arange(H) * hp) // H
+    ix = (jnp.arange(W) * wp) // W
+    seg = seg_p[iy, :][:, ix]
+
+    e_ref, ev_ref = segment_ops.adjacency_list(seg, S, max_edges=1024)
+    c_ref, cv_ref = segment_ops.segment_centers(seg, S)
+
+    e, ev, c, cv = segment_ops.upsampled_adjacency_and_centers(
+        seg_p, S, H, W, max_edges=1024
+    )
+    np.testing.assert_array_equal(np.asarray(ev), np.asarray(ev_ref))
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(e_ref))
+    np.testing.assert_array_equal(np.asarray(cv), np.asarray(cv_ref))
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), rtol=1e-5, atol=1e-3)
+
+
+def test_upsampled_adjacency_and_centers_rejects_downsample():
+    seg_p = jnp.zeros((8, 8), jnp.int32)
+    with pytest.raises(ValueError, match="out >= patch grid"):
+        segment_ops.upsampled_adjacency_and_centers(seg_p, 4, 4, 4)
+
+
+def _np_adjacency_bruteforce(seg, S, max_edges):
+    """Independent reference for adjacency_list: python-loop boundary
+    scan + set dedup + the op's sorted/padded output layout."""
+    seg = np.asarray(seg)
+    div = S + 1
+    H, W = seg.shape
+    keys = set()
+    for y in range(H):
+        for x in range(W):
+            for dy, dx in ((0, 1), (1, 0)):
+                if y + dy < H and x + dx < W:
+                    a, b = int(seg[y, x]), int(seg[y + dy, x + dx])
+                    if a != b and a >= 0 and b >= 0:
+                        keys.add(a + b * div)
+                        keys.add(b + a * div)
+    ks = sorted(keys)[max(0, len(keys) - max_edges):]
+    uniq = np.concatenate([np.full(max_edges - len(ks), -1, np.int64), np.asarray(ks, np.int64)])
+    valid = uniq >= 0
+    le = np.where(valid, uniq % div, 0)
+    ri = np.where(valid, uniq // div, 0)
+    return np.stack([le, ri]).astype(np.int32), valid
+
+
+@pytest.mark.parametrize("seed,S,max_edges", [(0, 20, 1024), (1, 7, 8), (2, 150, 4096)])
+def test_adjacency_list_matrix_path_matches_bruteforce(seed, S, max_edges):
+    """The S<=256 matrix fast path must reproduce the brute-force edge
+    set, layout, and truncation (keep-largest) exactly — including a
+    max_edges smaller than the true edge count (seed 1)."""
+    seg = jax.random.randint(jax.random.PRNGKey(seed), (32, 48), -1, S).astype(jnp.int32)
+    e, v = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
+    e_ref, v_ref = _np_adjacency_bruteforce(seg, S, max_edges)
+    np.testing.assert_array_equal(np.asarray(v), v_ref)
+    np.testing.assert_array_equal(np.asarray(e), e_ref)
+
+
+def test_grid_constants_match_generic_ops():
+    """grid_constants must equal adjacency_list + segment_centers run
+    on the segment_grid map, for a non-divisible (ragged) grid too."""
+    for H, W, cs in ((448, 448, 32), (100, 90, 16)):
+        ncells = (-(-H // cs)) * (-(-W // cs))
+        seg = segment_ops.segment_grid(H, W, cs)
+        e_ref, v_ref = segment_ops.adjacency_list(seg, ncells, max_edges=2048)
+        c_ref, cv_ref = segment_ops.segment_centers(seg, ncells)
+        e, v, c, cv = segment_ops.grid_constants(H, W, cs, ncells, max_edges=2048)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(e_ref))
+        np.testing.assert_array_equal(np.asarray(cv), np.asarray(cv_ref))
+        np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), rtol=1e-6, atol=1e-3)
+
+
+def test_grid_constants_rejects_undersized_num_segments():
+    with pytest.raises(ValueError, match="cells"):
+        segment_ops.grid_constants(448, 448, 32, 100)

@@ -173,6 +173,38 @@ def adjacency_list(seg: jnp.ndarray, num_segments: int, max_edges: int = 512):
     # Vertical neighbors: (s[y, x], s[y+1, x]).
     a_v, b_v = s[:-1, :], s[1:, :]
 
+    if num_segments <= 256:
+        # Matrix fast path: accumulate the S x S co-occurrence matrix
+        # with two MXU matmuls over bf16 one-hots instead of sorting
+        # ~4*H*W hash keys. jnp.unique's sort dominated the op at
+        # 448 px (exp_stego_decompose.py stage 5: ~3.8 ms/img vs
+        # ~0.5 ms of one-hot traffic); matrix entries are unique by
+        # construction so the dedup disappears and only the S^2
+        # (<= 65k) key sort remains. Exact: bf16 one-hot products are
+        # 0/1, accumulated in fp32 (counts < 2^24), and only tested
+        # against zero. Same output as the hash path (equivalence-
+        # tested): both directions via symmetrization, diagonal
+        # (a == b) zeroed, negative ids excluded by one_hot.
+        def cooc(a, b):
+            oa = jax.nn.one_hot(a.reshape(-1), num_segments, dtype=jnp.bfloat16)
+            ob = jax.nn.one_hot(b.reshape(-1), num_segments, dtype=jnp.bfloat16)
+            return jnp.dot(oa.T, ob, preferred_element_type=jnp.float32)
+
+        m = cooc(a_h, b_h) + cooc(a_v, b_v)
+        m = m + m.T
+        m = m * (1.0 - jnp.eye(num_segments, dtype=m.dtype))
+        ai = jax.lax.broadcasted_iota(jnp.int32, (num_segments, num_segments), 0)
+        bi = jax.lax.broadcasted_iota(jnp.int32, (num_segments, num_segments), 1)
+        keys_m = jnp.where(m > 0, ai + bi * div, -1).reshape(-1)
+        keys_m = jnp.sort(keys_m)  # -1 padding sorts first
+        uniq = keys_m[-max_edges:] if keys_m.shape[0] > max_edges else jnp.concatenate(
+            [jnp.full((max_edges - keys_m.shape[0],), -1, jnp.int32), keys_m]
+        )
+        valid = uniq >= 0
+        le = jnp.where(valid, uniq % div, 0)
+        ri = jnp.where(valid, uniq // div, 0)
+        return jnp.stack([le, ri], axis=0).astype(jnp.int32), valid
+
     def pairs(a, b):
         diff = (a != b) & (a >= 0) & (b >= 0)
         key = a + b * div
@@ -197,12 +229,146 @@ def adjacency_list(seg: jnp.ndarray, num_segments: int, max_edges: int = 512):
     return jnp.stack([le, ri], axis=0).astype(jnp.int32), valid
 
 
+@partial(jax.jit, static_argnames=("num_segments", "out_h", "out_w", "max_edges"))
+def upsampled_adjacency_and_centers(
+    seg_p: jnp.ndarray,
+    num_segments: int,
+    out_h: int,
+    out_w: int,
+    max_edges: int = 512,
+):
+    """adjacency_list + segment_centers of the nearest-upsampled label
+    map, computed at PATCH resolution — exactly.
+
+    The fused stego tail nearest-upsamples its (hp, wp) k-means labels
+    to (H, W) pixels with the floor map r = (y * hp) // H, then needs
+    segment adjacency and pixel-space centroids. Running those on the
+    upsampled map costs O(H*W) one-hot work (~3.8 ms/img at 448 px,
+    the dominant non-backbone term in exp_stego_decompose.py). But the
+    floor map sends each patch cell to a CONTIGUOUS pixel rectangle, so
+
+      * two labels are 4-adjacent at pixel resolution iff they are
+        4-adjacent at patch resolution -> adjacency_list(seg) and
+        adjacency_list(seg_p) return the identical (sorted, deduped)
+        edge set; and
+      * the pixel centroid of a label is the block-weighted patch
+        centroid: cell (r, c) contributes w_y[r]*w_x[c] pixels whose
+        coordinate sums separate as (w_y[r]*s_x[c], s_y[r]*w_x[c]),
+        where w/s are the per-row pixel counts and coordinate sums of
+        the floor map (trace-time constants).
+
+    Equivalence is pinned by tests/test_segment_ops.py for divisible
+    and non-divisible (H, W) alike.
+
+    Returns (edges, edge_valid, centers, center_valid) matching
+    adjacency_list(seg_hw) + segment_centers(seg_hw).
+    """
+    import numpy as np
+
+    hp, wp = seg_p.shape
+    if out_h < hp or out_w < wp:
+        # downsampling merges cells: patch-res adjacency would report
+        # pairs the pixel map never realizes
+        raise ValueError(
+            f"upsampled_adjacency_and_centers requires out >= patch grid "
+            f"(got {out_h}x{out_w} from {hp}x{wp})"
+        )
+    edges, edge_valid = adjacency_list(seg_p, num_segments, max_edges=max_edges)
+
+    def block_sums(n_out, n_in):
+        idx = (np.arange(n_out) * n_in) // n_out  # pixel -> patch row
+        w = np.zeros(n_in, np.float64)
+        s = np.zeros(n_in, np.float64)
+        np.add.at(w, idx, 1.0)
+        np.add.at(s, idx, np.arange(n_out, dtype=np.float64))
+        return jnp.asarray(w, jnp.float32), jnp.asarray(s, jnp.float32)
+
+    w_y, s_y = block_sums(out_h, hp)  # (hp,)
+    w_x, s_x = block_sums(out_w, wp)  # (wp,)
+
+    onehot = jax.nn.one_hot(seg_p.reshape(-1), num_segments, dtype=jnp.float32)
+    # per-cell pixel count and coordinate sums, separable over rows/cols
+    cnt = (w_y[:, None] * w_x[None, :]).reshape(-1)
+    sx = (w_y[:, None] * s_x[None, :]).reshape(-1)
+    sy = (s_y[:, None] * w_x[None, :]).reshape(-1)
+    stacked = jnp.stack([sx, sy, cnt], axis=-1)  # (hp*wp, 3)
+    agg = jnp.dot(onehot.T, stacked, preferred_element_type=jnp.float32)
+    counts = agg[:, 2]
+    centers = agg[:, :2] / jnp.maximum(counts[:, None], 1.0)
+    return edges, edge_valid, centers, counts > 0
+
+
 def segment_grid(height: int, width: int, cell_size: int = 32) -> jnp.ndarray:
     """Grid segmentation (feature_extractor.py:198-219): row-major cell ids."""
     ys = jnp.arange(height) // cell_size
     xs = jnp.arange(width) // cell_size
     ncols = -(-width // cell_size)
     return (ys[:, None] * ncols + xs[None, :]).astype(jnp.int32)
+
+
+def grid_constants(
+    height: int, width: int, cell_size: int, num_segments: int, max_edges: int = 512
+):
+    """adjacency_list + segment_centers of a segment_grid map, computed
+    in numpy at trace/build time.
+
+    A grid segmentation is a compile-time constant, but XLA does not
+    constant-fold the one-hot matmuls and the key sort the generic ops
+    lower to — the fused "grid" tails were paying them per frame (the
+    dominant non-backbone term in the anomaly mode). The grid's
+    adjacency and centroids are pure functions of (height, width,
+    cell_size), so compute them here once; closed over a jitted tail
+    they bake in as tiny literals ((2, max_edges) + (S, 2)).
+
+    Output matches adjacency_list(segment_grid(...), num_segments) and
+    segment_centers(...) bit-for-bit in layout and padding semantics
+    (equivalence-tested in tests/test_segment_ops.py).
+    """
+    import numpy as np
+
+    ncols = -(-width // cell_size)
+    nrows = -(-height // cell_size)
+    ncells = nrows * ncols
+    if num_segments < ncells:
+        raise ValueError(
+            f"grid of {height}x{width}/{cell_size} has {ncells} cells but "
+            f"num_segments={num_segments}; ids would alias in the pooling "
+            f"one-hot and the adjacency pair hash"
+        )
+    div = num_segments + 1
+
+    ys = np.arange(height) // cell_size
+    xs = np.arange(width) // cell_size
+    seg = (ys[:, None] * ncols + xs[None, :]).astype(np.int64)
+
+    key_list = []
+    for a, b in ((seg[:, :-1], seg[:, 1:]), (seg[:-1, :], seg[1:, :])):
+        d = a != b
+        key_list.append(a[d] + b[d] * div)
+        key_list.append(b[d] + a[d] * div)
+    keys = np.unique(np.concatenate(key_list)) if key_list else np.zeros(0, np.int64)
+    keys = keys[-max_edges:]
+    uniq = np.concatenate([np.full(max_edges - keys.size, -1, np.int64), keys])
+    valid = uniq >= 0
+    le = np.where(valid, uniq % div, 0)
+    ri = np.where(valid, uniq // div, 0)
+    edges = np.stack([le, ri], axis=0).astype(np.int32)
+
+    cnt = np.zeros(num_segments, np.float64)
+    sx = np.zeros(num_segments, np.float64)
+    sy = np.zeros(num_segments, np.float64)
+    yy, xx = np.mgrid[0:height, 0:width]
+    np.add.at(cnt, seg.ravel(), 1.0)
+    np.add.at(sx, seg.ravel(), xx.ravel().astype(np.float64))
+    np.add.at(sy, seg.ravel(), yy.ravel().astype(np.float64))
+    centers = np.stack([sx, sy], axis=-1) / np.maximum(cnt[:, None], 1.0)
+
+    return (
+        jnp.asarray(edges),
+        jnp.asarray(valid),
+        jnp.asarray(centers, jnp.float32),
+        jnp.asarray(cnt > 0),
+    )
 
 
 def segment_pixelwise(height: int, width: int) -> jnp.ndarray:

@@ -126,6 +126,11 @@ def build_fused_frame_fn(
             seg = slic(x[0], num_components=S, compactness=slic_compactness, iterations=slic_iterations)
         elif segmentation_type == "grid":
             seg = segment_ops.segment_grid(H, W, cell_size)
+            # adjacency/centroids of a constant grid: trace-time numpy
+            # constants instead of per-frame one-hot matmuls + key sort
+            edges, edge_valid, centers, center_valid = segment_ops.grid_constants(
+                H, W, cell_size, S, max_edges=max_edges
+            )
         else:
             # 'none' (pixelwise) deliberately NOT served here: its
             # "segments" are the H*W pixels, so pooling/adjacency would
@@ -135,8 +140,9 @@ def build_fused_frame_fn(
             # (segment_pixelwise + pixelwise_edges).
             raise ValueError(f"fused path does not support segmentation [{segmentation_type}]")
 
-        edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
-        centers, center_valid = segment_ops.segment_centers(seg, S)
+        if segmentation_type != "grid":
+            edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
+            centers, center_valid = segment_ops.segment_centers(seg, S)
 
         if model_needs_edges(mlp):
             # Graph heads score per SEGMENT over the frame's adjacency
@@ -326,15 +332,23 @@ def build_fused_stego_frame_fn(
         labels, _ = cosine_kmeans(code, jrandom.PRNGKey(0), n_clusters=S)
         seg_p = labels.reshape(hp, wp).astype(jnp.int32)
 
-        # nearest-upsample the patch segmentation to pixels
-        iy = jnp.clip(jnp.floor(jnp.arange(H) * (hp / H)).astype(jnp.int32), 0, hp - 1)
-        ix = jnp.clip(jnp.floor(jnp.arange(W) * (wp / W)).astype(jnp.int32), 0, wp - 1)
+        # nearest-upsample the patch segmentation to pixels (integer
+        # floor map — the exact map upsampled_adjacency_and_centers
+        # assumes)
+        iy = (jnp.arange(H) * hp) // H
+        ix = (jnp.arange(W) * wp) // W
         seg = seg_p[iy, :][:, ix]
 
         code_hw = code.reshape(hp, wp, -1).transpose(2, 0, 1)  # (90, hp, wp)
         pooled, counts = segment_ops.segment_mean_pool(code_hw, seg_p, S)
-        edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
-        centers, center_valid = segment_ops.segment_centers(seg, S)
+        # adjacency + pixel-space centroids computed at patch resolution
+        # (exact for nearest-upsampled labels; saves the O(H*W) one-hot,
+        # ~3.8 ms/img at 448 px — exp_stego_decompose.py stage 5)
+        edges, edge_valid, centers, center_valid = (
+            segment_ops.upsampled_adjacency_and_centers(
+                seg_p, S, H, W, max_edges=max_edges
+            )
+        )
 
         if model_needs_edges(mlp):
             # graph heads: per-segment scoring over the cluster adjacency
@@ -451,14 +465,17 @@ def build_fused_torchvision_frame_fn(
         pyr_i: {name: (C_i, H_i, W_i)}; x_i: (3, H, W) resized [0,1]."""
         if segmentation_type == "slic":
             seg = slic(x_i, num_components=S, compactness=slic_compactness, iterations=slic_iterations)
+            edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
+            centers, _ = segment_ops.segment_centers(seg, S)
         elif segmentation_type == "grid":
             seg = segment_ops.segment_grid(H, W, cell_size)
+            edges, edge_valid, centers, _cv = segment_ops.grid_constants(
+                H, W, cell_size, S, max_edges=max_edges
+            )
         else:
             raise ValueError(f"fused torchvision path does not support segmentation [{segmentation_type}]")
 
         pooled, seg_valid = segment_ops.segment_pyramid_pool(pyr_i, seg, S)
-        edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
-        centers, _ = segment_ops.segment_centers(seg, S)
 
         trav_seg, conf_seg = _score_rows(mlp, mlp_params, cg_cfg, cg_state, pooled,
                                          anomaly=False, edges=edges, edge_valid=edge_valid)
