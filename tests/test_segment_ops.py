@@ -198,3 +198,79 @@ def test_grid_constants_match_generic_ops():
 def test_grid_constants_rejects_undersized_num_segments():
     with pytest.raises(ValueError, match="cells"):
         segment_ops.grid_constants(448, 448, 32, 100)
+
+
+def test_slic_batch_fused_matches_xla():
+    """The fused Pallas SLIC (interpret mode on CPU) must (a) produce
+    IDENTICAL assignments for a single step from the same centers (the
+    kernel replicates the distance formula and argmin tie rule), and
+    (b) agree with the XLA path on >= 99% of pixels after full
+    iterations (center means accumulate in a different fp32 order —
+    per-block partials — so window-boundary pixels can flip)."""
+    from wild_visual_navigation_tpu.ops.slic import slic, slic_batch
+
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 64, 96))
+    ref = jax.vmap(lambda x: slic(x, num_components=12, iterations=4))(imgs)
+    got = slic_batch(imgs, num_components=12, iterations=4, impl="pallas-interpret")
+    ref, got = np.asarray(ref), np.asarray(got)
+    assert got.shape == ref.shape and got.dtype == ref.dtype
+    assert got.min() >= 0 and got.max() < 12
+    agree = float(np.mean(ref == got))
+    assert agree >= 0.99, agree
+
+
+def test_slic_fused_single_step_identical():
+    """One assignment step from identical centers is bit-identical
+    between the kernel and the XLA path (same distances, same
+    first-index ties, same window/orphan rules)."""
+    import jax.numpy as jnp
+
+    from wild_visual_navigation_tpu.ops import slic as slic_mod
+    from wild_visual_navigation_tpu.ops.slic_fused import _P, _round_up, _slic_step
+
+    H, W, K = 64, 96, 12
+    img = jax.random.uniform(jax.random.PRNGKey(1), (3, H, W))
+    S = (H * W / K) ** 0.5
+    ws = 10.0 / S
+    win2 = float((2.0 * S) ** 2)
+
+    lab = slic_mod.rgb_to_lab(img)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    feats = jnp.stack([lab[0].ravel(), lab[1].ravel(), lab[2].ravel(),
+                       (ys * ws).ravel(), (xs * ws).ravel()], -1)
+    init_yx = slic_mod._grid_centers(K, H, W)
+    idx = (init_yx[:, 0].astype(jnp.int32) * W
+           + init_yx[:, 1].astype(jnp.int32)).clip(0, H * W - 1)
+    centers = feats[idx]
+
+    # XLA assign, replicated from slic.py
+    p2 = jnp.sum(feats * feats, -1, keepdims=True)
+    yx = jnp.stack([ys.ravel(), xs.ravel()], -1)
+    yx2 = jnp.sum(yx * yx, -1, keepdims=True)
+    c2 = jnp.sum(centers * centers, -1)[None, :]
+    dots = jnp.dot(feats, centers.T, preferred_element_type=jnp.float32)
+    d2 = p2 - 2.0 * dots + c2
+    cyx = centers[:, 3:] / ws
+    cyx2 = jnp.sum(cyx * cyx, -1)[None, :]
+    sdots = jnp.dot(yx, cyx.T, preferred_element_type=jnp.float32)
+    d2s = yx2 - 2.0 * sdots + cyx2
+    masked = jnp.where(d2s <= win2, d2, 1e30)
+    best = jnp.argmin(masked, -1)
+    orphan = jnp.min(d2s, -1) > win2
+    ref_ids = np.asarray(jnp.where(orphan, jnp.argmin(d2s, -1), best))
+
+    HW = H * W
+    HWpad = _round_up(HW, _P)
+    Kp = _round_up(K, 8)
+    feats_t = jnp.pad(feats.T[None], ((0, 0), (0, 3), (0, HWpad - HW)))
+    valid = ((jax.lax.iota(jnp.int32, HWpad) < HW)
+             .astype(jnp.float32).reshape(1, 1, HWpad))
+    cpad = jnp.pad(centers[None], ((0, 0), (0, Kp - K), (0, 3)))
+    acc, ids = _slic_step(feats_t, valid, cpad, K=K, win2=win2,
+                          inv_ws2=float(1.0 / ws ** 2), interpret=True)
+    got_ids = np.asarray(ids).reshape(HWpad)[:HW]
+    np.testing.assert_array_equal(got_ids, ref_ids)
+    # counts from the accumulator equal the assignment histogram
+    np.testing.assert_allclose(
+        np.asarray(acc)[0, :K, 5], np.bincount(ref_ids, minlength=K), atol=0)

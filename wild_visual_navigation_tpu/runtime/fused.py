@@ -33,7 +33,7 @@ from ..ops.resize import (
 )
 from ..ops.pixelwise import pixelwise_map_rows_chunked, pixelwise_score
 from ..ops.pixelwise import supports_optimized as pixelwise_supports
-from ..ops.slic import slic
+from ..ops.slic import slic_batch
 from ..utils.confidence_generator import ConfidenceConfig, confidence_inference
 
 
@@ -119,28 +119,37 @@ def build_fused_frame_fn(
         # resize-smaller-edge + center-crop; rectangles resize directly
         return resize_image(img, H, W)
 
-    def tail(mlp_params, cg_state, feat, x):
-        """Post-backbone per-image tail: segmentation + pooling +
-        scoring. feat: (1, D, Hp, Wp); x: (1, 3, H, W) resized [0,1]."""
+    def _segments(x):
+        """(B, 3, H, W) resized [0,1] -> (B, H, W) int32. Batched at
+        this level so a faster batched SLIC impl can slot in
+        (ops/slic.py::slic_batch; the fused-kernel attempt measured
+        slower and "auto" stays on the XLA path)."""
         if segmentation_type == "slic":
-            seg = slic(x[0], num_components=S, compactness=slic_compactness, iterations=slic_iterations)
-        elif segmentation_type == "grid":
-            seg = segment_ops.segment_grid(H, W, cell_size)
+            return slic_batch(x, num_components=S, compactness=slic_compactness,
+                              iterations=slic_iterations)
+        if segmentation_type == "grid":
+            return jnp.broadcast_to(
+                segment_ops.segment_grid(H, W, cell_size)[None],
+                (x.shape[0], H, W),
+            )
+        # 'none' (pixelwise) deliberately NOT served here: its
+        # "segments" are the H*W pixels, so pooling/adjacency would
+        # need the very pixel-resolution tensors the fused program
+        # exists to avoid (and the adjacency pair hash caps at ~46k
+        # ids). The composed facade handles it exactly
+        # (segment_pixelwise + pixelwise_edges).
+        raise ValueError(f"fused path does not support segmentation [{segmentation_type}]")
+
+    def tail(mlp_params, cg_state, feat, seg):
+        """Post-backbone per-image tail: pooling + scoring over the
+        precomputed segmentation. feat: (1, D, Hp, Wp); seg: (H, W)."""
+        if segmentation_type == "grid":
             # adjacency/centroids of a constant grid: trace-time numpy
             # constants instead of per-frame one-hot matmuls + key sort
             edges, edge_valid, centers, center_valid = segment_ops.grid_constants(
                 H, W, cell_size, S, max_edges=max_edges
             )
         else:
-            # 'none' (pixelwise) deliberately NOT served here: its
-            # "segments" are the H*W pixels, so pooling/adjacency would
-            # need the very pixel-resolution tensors the fused program
-            # exists to avoid (and the adjacency pair hash caps at ~46k
-            # ids). The composed facade handles it exactly
-            # (segment_pixelwise + pixelwise_edges).
-            raise ValueError(f"fused path does not support segmentation [{segmentation_type}]")
-
-        if segmentation_type != "grid":
             edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
             centers, center_valid = segment_ops.segment_centers(seg, S)
 
@@ -261,7 +270,7 @@ def build_fused_frame_fn(
         x = _preprocess(img)
         xn = imagenet_normalize(x)
         feat = dense_features(vit, vit_params, xn)  # (1, D, Hp, Wp)
-        return tail(mlp_params, cg_state, feat, x)
+        return tail(mlp_params, cg_state, feat, _segments(x)[0])
 
     def frames_batch(vit_params, mlp_params, cg_state, imgs, mesh=None):
         """Natively-batched multi-camera variant: the BACKBONE runs on
@@ -281,7 +290,8 @@ def build_fused_frame_fn(
         x = _preprocess(imgs)
         xn = imagenet_normalize(x)
         feat = dense_features(vit, vit_params, xn)  # (B, D, Hp, Wp)
-        return jax.vmap(lambda f, xi: tail(mlp_params, cg_state, f[None], xi[None]))(feat, x)
+        segs = _segments(x)  # (B, H, W)
+        return jax.vmap(lambda f, sg: tail(mlp_params, cg_state, f[None], sg))(feat, segs)
 
     frame.frames_batch = frames_batch
     return jax.jit(frame) if jit_compile else frame
@@ -460,20 +470,29 @@ def build_fused_torchvision_frame_fn(
     S = num_segments
     model = tvi.model
 
-    def tail(mlp_params, cg_state, pyr_i, x_i):
-        """Per-image tail: segmentation + multiscale pooling + scoring.
-        pyr_i: {name: (C_i, H_i, W_i)}; x_i: (3, H, W) resized [0,1]."""
+    def _segments(x):
+        """(B, 3, H, W) resized [0,1] -> (B, H, W) int32 (batched —
+        see the dino builder's _segments note)."""
         if segmentation_type == "slic":
-            seg = slic(x_i, num_components=S, compactness=slic_compactness, iterations=slic_iterations)
-            edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
-            centers, _ = segment_ops.segment_centers(seg, S)
-        elif segmentation_type == "grid":
-            seg = segment_ops.segment_grid(H, W, cell_size)
+            return slic_batch(x, num_components=S, compactness=slic_compactness,
+                              iterations=slic_iterations)
+        if segmentation_type == "grid":
+            return jnp.broadcast_to(
+                segment_ops.segment_grid(H, W, cell_size)[None],
+                (x.shape[0], H, W),
+            )
+        raise ValueError(f"fused torchvision path does not support segmentation [{segmentation_type}]")
+
+    def tail(mlp_params, cg_state, pyr_i, seg):
+        """Per-image tail: multiscale pooling + scoring over the
+        precomputed segmentation. pyr_i: {name: (C_i, H_i, W_i)}."""
+        if segmentation_type == "grid":
             edges, edge_valid, centers, _cv = segment_ops.grid_constants(
                 H, W, cell_size, S, max_edges=max_edges
             )
         else:
-            raise ValueError(f"fused torchvision path does not support segmentation [{segmentation_type}]")
+            edges, edge_valid = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
+            centers, _ = segment_ops.segment_centers(seg, S)
 
         pooled, seg_valid = segment_ops.segment_pyramid_pool(pyr_i, seg, S)
 
@@ -500,7 +519,8 @@ def build_fused_torchvision_frame_fn(
         if img.dtype == jnp.uint8:
             img = img.astype(jnp.float32) / 255.0
         pyr, x = _backbone(tv_params, img)
-        return tail(mlp_params, cg_state, {k: v[0] for k, v in pyr.items()}, x[0])
+        return tail(mlp_params, cg_state, {k: v[0] for k, v in pyr.items()},
+                    _segments(x)[0])
 
     def frames_batch(tv_params, mlp_params, cg_state, imgs, mesh=None):
         """Natively-batched multi-camera variant: the CNN pyramid runs
@@ -516,7 +536,8 @@ def build_fused_torchvision_frame_fn(
                 imgs, NamedSharding(mesh, PartitionSpec("dp"))
             )
         pyr, x = _backbone(tv_params, imgs)
-        return jax.vmap(lambda p, xi: tail(mlp_params, cg_state, p, xi))(pyr, x)
+        segs = _segments(x)
+        return jax.vmap(lambda p, sg: tail(mlp_params, cg_state, p, sg))(pyr, segs)
 
     frame.frames_batch = frames_batch
     return jax.jit(frame) if jit_compile else frame
