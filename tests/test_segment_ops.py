@@ -183,7 +183,7 @@ def test_adjacency_list_matrix_path_matches_bruteforce(seed, S, max_edges):
 def test_grid_constants_match_generic_ops():
     """grid_constants must equal adjacency_list + segment_centers run
     on the segment_grid map, for a non-divisible (ragged) grid too."""
-    for H, W, cs in ((448, 448, 32), (100, 90, 16)):
+    for H, W, cs in ((448, 448, 32), (100, 90, 16), (644, 644, 64)):
         ncells = (-(-H // cs)) * (-(-W // cs))
         seg = segment_ops.segment_grid(H, W, cs)
         e_ref, v_ref = segment_ops.adjacency_list(seg, ncells, max_edges=2048)
