@@ -160,8 +160,9 @@ def _np_adjacency_bruteforce(seg, S, max_edges):
                     if a != b and a >= 0 and b >= 0:
                         keys.add(a + b * div)
                         keys.add(b + a * div)
-    ks = sorted(keys)[max(0, len(keys) - max_edges):]
-    uniq = np.concatenate([np.full(max_edges - len(ks), -1, np.int64), np.asarray(ks, np.int64)])
+    # valid-front / keep-smallest / pad-back — the op's layout contract
+    ks = sorted(keys)[:max_edges]
+    uniq = np.concatenate([np.asarray(ks, np.int64), np.full(max_edges - len(ks), -1, np.int64)])
     valid = uniq >= 0
     le = np.where(valid, uniq % div, 0)
     ri = np.where(valid, uniq // div, 0)
@@ -274,3 +275,15 @@ def test_slic_fused_single_step_identical():
     # counts from the accumulator equal the assignment histogram
     np.testing.assert_allclose(
         np.asarray(acc)[0, :K, 5], np.bincount(ref_ids, minlength=K), atol=0)
+
+
+@pytest.mark.parametrize("seed,S,max_edges", [(0, 20, 1024), (1, 7, 8), (3, 130, 64)])
+def test_adjacency_list_matrix_equals_hash_path(seed, S, max_edges):
+    """The S<=256 matrix path and the generic hash path must return
+    bit-identical (edges, edge_valid) — including the positional
+    layout (valid first, ascending keys) and keep-smallest truncation."""
+    seg = jax.random.randint(jax.random.PRNGKey(seed), (32, 48), -1, S).astype(jnp.int32)
+    em, vm = segment_ops.adjacency_list(seg, S, max_edges=max_edges, impl="matrix")
+    eh, vh = segment_ops.adjacency_list(seg, S, max_edges=max_edges, impl="hash")
+    np.testing.assert_array_equal(np.asarray(vm), np.asarray(vh))
+    np.testing.assert_array_equal(np.asarray(em), np.asarray(eh))

@@ -143,8 +143,9 @@ def segment_centers(seg: jnp.ndarray, num_segments: int):
     return centers, counts > 0
 
 
-@partial(jax.jit, static_argnames=("num_segments", "max_edges"))
-def adjacency_list(seg: jnp.ndarray, num_segments: int, max_edges: int = 512):
+@partial(jax.jit, static_argnames=("num_segments", "max_edges", "impl"))
+def adjacency_list(seg: jnp.ndarray, num_segments: int, max_edges: int = 512,
+                   impl: str = "auto"):
     """Undirected adjacency of neighboring segments, fixed size.
 
     Matches SegmentExtractor.adjacency_list (segment_extractor.py:39-67):
@@ -173,7 +174,14 @@ def adjacency_list(seg: jnp.ndarray, num_segments: int, max_edges: int = 512):
     # Vertical neighbors: (s[y, x], s[y+1, x]).
     a_v, b_v = s[:-1, :], s[1:, :]
 
-    if num_segments <= 256:
+    if impl == "auto":
+        impl = "matrix" if num_segments <= 256 else "hash"
+    if impl == "matrix":
+        if num_segments > 256:
+            raise ValueError(
+                f"adjacency_list impl='matrix' is gated to <= 256 segments "
+                f"(S^2 key table); got {num_segments}"
+            )
         # Matrix fast path: accumulate the S x S co-occurrence matrix
         # with two MXU matmuls over bf16 one-hots instead of sorting
         # ~4*H*W hash keys. jnp.unique's sort dominated the op at
@@ -182,9 +190,11 @@ def adjacency_list(seg: jnp.ndarray, num_segments: int, max_edges: int = 512):
         # construction so the dedup disappears and only the S^2
         # (<= 65k) key sort remains. Exact: bf16 one-hot products are
         # 0/1, accumulated in fp32 (counts < 2^24), and only tested
-        # against zero. Same output as the hash path (equivalence-
-        # tested): both directions via symmetrization, diagonal
-        # (a == b) zeroed, negative ids excluded by one_hot.
+        # against zero. Output layout matches the hash path EXACTLY
+        # (pinned by tests/test_segment_ops.py): valid edges FIRST in
+        # ascending key order, padding at the back, and truncation
+        # keeps the SMALLEST keys — invalid entries sort to the back
+        # as int32-max sentinels instead of -1-first.
         def cooc(a, b):
             oa = jax.nn.one_hot(a.reshape(-1), num_segments, dtype=jnp.bfloat16)
             ob = jax.nn.one_hot(b.reshape(-1), num_segments, dtype=jnp.bfloat16)
@@ -195,14 +205,16 @@ def adjacency_list(seg: jnp.ndarray, num_segments: int, max_edges: int = 512):
         m = m * (1.0 - jnp.eye(num_segments, dtype=m.dtype))
         ai = jax.lax.broadcasted_iota(jnp.int32, (num_segments, num_segments), 0)
         bi = jax.lax.broadcasted_iota(jnp.int32, (num_segments, num_segments), 1)
-        keys_m = jnp.where(m > 0, ai + bi * div, -1).reshape(-1)
-        keys_m = jnp.sort(keys_m)  # -1 padding sorts first
-        uniq = keys_m[-max_edges:] if keys_m.shape[0] > max_edges else jnp.concatenate(
-            [jnp.full((max_edges - keys_m.shape[0],), -1, jnp.int32), keys_m]
-        )
-        valid = uniq >= 0
-        le = jnp.where(valid, uniq % div, 0)
-        ri = jnp.where(valid, uniq // div, 0)
+        big = jnp.iinfo(jnp.int32).max  # > any key: div^2 <= 257^2
+        keys_m = jnp.where(m > 0, ai + bi * div, big).reshape(-1)
+        keys_m = jnp.sort(keys_m)[:max_edges]  # smallest keys, valid first
+        if keys_m.shape[0] < max_edges:
+            keys_m = jnp.concatenate(
+                [keys_m, jnp.full((max_edges - keys_m.shape[0],), big, jnp.int32)]
+            )
+        valid = keys_m < big
+        le = jnp.where(valid, keys_m % div, 0)
+        ri = jnp.where(valid, keys_m // div, 0)
         return jnp.stack([le, ri], axis=0).astype(jnp.int32), valid
 
     def pairs(a, b):
@@ -347,8 +359,10 @@ def grid_constants(
         key_list.append(a[d] + b[d] * div)
         key_list.append(b[d] + a[d] * div)
     keys = np.unique(np.concatenate(key_list)) if key_list else np.zeros(0, np.int64)
-    keys = keys[-max_edges:]
-    uniq = np.concatenate([np.full(max_edges - keys.size, -1, np.int64), keys])
+    # same layout as adjacency_list: valid edges first (ascending key),
+    # truncation keeps the smallest keys, padding at the back
+    keys = keys[:max_edges]
+    uniq = np.concatenate([keys, np.full(max_edges - keys.size, -1, np.int64)])
     valid = uniq >= 0
     le = np.where(valid, uniq % div, 0)
     ri = np.where(valid, uniq // div, 0)

@@ -174,135 +174,3 @@ def slic_batch(
         lambda x: slic(x, num_components=num_components,
                        compactness=compactness, iterations=iterations)
     )(imgs)
-
-
-def slic_batch(
-    imgs: jnp.ndarray,
-    num_components: int = 100,
-    compactness: float = 10.0,
-    iterations: int = 10,
-    impl: str = "auto",
-) -> jnp.ndarray:
-    """Batched SLIC: (B, 3, H, W) -> (B, H, W) int32 ids.
-
-    impl="pallas" opts into the fused kernel (ops/slic_fused.py — one
-    VMEM-resident assign+accumulate pass per iteration instead of ~5
-    materialized (HW, K) arrays). Measured on v5e-1 at the production
-    shape (B4 @448, K=100, 10 iters) it LOSES to the XLA path, 25.7 vs
-    20.6 ms: the op is VPU-compute-bound on the HW x K distance work,
-    which fusion cannot reduce, and XLA already fuses the elementwise
-    chain into its reductions — so "auto" resolves to "xla" everywhere
-    and the kernel stays an opt-in record of the measurement (the same
-    verdict pattern as the int8 backbone, models/quant.py). The two
-    paths produce identical single-step assignments; over multiple
-    iterations per-block vs whole-image fp32 accumulation of the center
-    means drifts boundary pixels (92% label agreement at 448^2/10
-    iters; tests/test_segment_ops.py)."""
-    if impl == "auto":
-        impl = "xla"
-    if impl in ("pallas", "pallas-interpret"):
-        from .slic_fused import slic_batch_fused
-
-        return slic_batch_fused(imgs, num_components, compactness, iterations,
-                                interpret=impl == "pallas-interpret")
-    return jax.vmap(
-        lambda x: slic(x, num_components=num_components,
-                       compactness=compactness, iterations=iterations)
-    )(imgs)
-
-
-@partial(jax.jit, static_argnames=("num_components", "compactness", "iterations", "radius"))
-def slic_windowed(
-    img: jnp.ndarray,
-    num_components: int = 100,
-    compactness: float = 10.0,
-    iterations: int = 10,
-    radius: int = 1,
-) -> jnp.ndarray:
-    """SLIC with fast_slic-style candidate pruning: each pixel only
-    considers the centers seeded in its (2*radius+1)^2 seed-cell
-    neighborhood (the reference's fast_slic searches a 2S region per
-    cluster, which reduces to exactly this neighborhood structure).
-
-    The full-assignment path (slic()) computes an (HW, K) distance
-    matrix whose elementwise/argmin chains and materializations
-    dominate the op (~5.2 ms/img at 448^2/K=100 — 54% of the whole
-    torchvision mode, benchmarks/exp_tv_decompose.py). Here the assign
-    step is 9 gathered (HW, 5) candidate rows and a running masked min
-    — ~K/9 times less distance work and no pixel x K array ever
-    materializes (the update step keeps the one-hot MXU matmul, which
-    is MXU-cheap). Centers rarely migrate farther than one cell, so
-    the pruning is almost always exact: tests pin >= 99% label
-    agreement with slic() (ties and rare far-migrated centers differ).
-
-    Same ties rule as slic() (smallest center index wins), same orphan
-    fallback (spatially nearest candidate when none is inside the 2S
-    window)."""
-    import math
-
-    _, H, W = img.shape
-    K = num_components
-    S = (H * W / K) ** 0.5
-    ws = compactness / S
-    win2 = (2.0 * S) ** 2
-    _BIG = 1e30
-
-    ky = max(1, round(math.sqrt(K * H / W)))
-    kx = max(1, math.ceil(K / ky))
-
-    lab = rgb_to_lab(img)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    feats = jnp.stack(
-        [lab[0].ravel(), lab[1].ravel(), lab[2].ravel(), (ys * ws).ravel(), (xs * ws).ravel()],
-        axis=-1,
-    )  # (HW, 5)
-
-    init_yx = _grid_centers(K, H, W)
-    init_idx = (init_yx[:, 0].astype(jnp.int32) * W + init_yx[:, 1].astype(jnp.int32)).clip(0, H * W - 1)
-    centers0 = feats[init_idx]  # (K, 5)
-
-    # Static per-pixel candidate lists: the seed-grid cell of each
-    # pixel plus its (2r+1)^2 clamped neighbors (trace-time constants).
-    cell_r = jnp.clip((jnp.arange(H) * ky) // H, 0, ky - 1)
-    cell_c = jnp.clip((jnp.arange(W) * kx) // W, 0, kx - 1)
-    cr = jnp.broadcast_to(cell_r[:, None], (H, W)).ravel()
-    cc = jnp.broadcast_to(cell_c[None, :], (H, W)).ravel()
-    cands = []
-    for dr in range(-radius, radius + 1):
-        for dc in range(-radius, radius + 1):
-            idx = (jnp.clip(cr + dr, 0, ky - 1) * kx
-                   + jnp.clip(cc + dc, 0, kx - 1))
-            cands.append(jnp.clip(idx, 0, K - 1).astype(jnp.int32))
-    # (HW, n_cand); clamping duplicates border candidates, which the
-    # smallest-index tie rule renders harmless
-
-    def assign(centers):
-        best_d = jnp.full(feats.shape[:1], _BIG)
-        best_i = jnp.full(feats.shape[:1], K, jnp.int32)
-        best_s = jnp.full(feats.shape[:1], _BIG)
-        best_si = jnp.full(feats.shape[:1], K, jnp.int32)
-        for cidx in cands:
-            c = centers[cidx]  # (HW, 5)
-            diff = feats - c
-            d2 = jnp.sum(diff * diff, axis=-1)
-            dsp = jnp.sum(diff[:, 3:] * diff[:, 3:], axis=-1) / (ws * ws)
-            dm = jnp.where(dsp <= win2, d2, _BIG)
-            take = (dm < best_d) | ((dm == best_d) & (cidx < best_i))
-            best_d = jnp.where(take, dm, best_d)
-            best_i = jnp.where(take, cidx, best_i)
-            stake = (dsp < best_s) | ((dsp == best_s) & (cidx < best_si))
-            best_s = jnp.where(stake, dsp, best_s)
-            best_si = jnp.where(stake, cidx, best_si)
-        orphan = best_s > win2
-        return jnp.where(orphan, best_si, best_i).clip(0, K - 1)
-
-    def body(_, centers):
-        ids = assign(centers)
-        onehot = jax.nn.one_hot(ids, K, dtype=jnp.float32)  # (HW, K)
-        sums = jnp.dot(onehot.T, feats, preferred_element_type=jnp.float32)
-        counts = jnp.sum(onehot, axis=0)[:, None]
-        return jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), centers)
-
-    centers = jax.lax.fori_loop(0, iterations, body, centers0)
-    return assign(centers).reshape(H, W).astype(jnp.int32)
