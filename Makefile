@@ -14,13 +14,20 @@ test-fast:
 bench:
 	timeout 600 python bench.py
 
-# Every README performance claim, one regenerable artifact (results/bench_r04.json).
+# Every README performance claim, one regenerable artifact (results/bench_r05.json).
 bench-all:
 	timeout 4800 python benchmarks/bench_all.py
 
-# Long-horizon soak at production shape (results/soak_r04.json).
+# Long-horizon soak at production shape (results/soak_r05.json).
 soak:
 	timeout 3600 python tools/soak.py
+
+# Config-5 endurance soak: 4-cam ViT-B @644 product runtime, pixelwise,
+# >= 1 h wall (results/soak_config5.json).
+soak-config5:
+	timeout 7200 python tools/soak.py --product --cameras 4 --size 644 \
+		--backbone vit_base --pixelwise --frames 160000 --window 2000 \
+		--out results/soak_config5.json
 
 dryrun:
 	python __graft_entry__.py

@@ -19,8 +19,11 @@ vanishes when no host payload is transferred. The relay's host staging
 copy is never returned. This is an artifact of the tunnel client, not
 of the framework (nothing in wild_visual_navigation_tpu retains the
 frames; the CPU backend shows no growth) — tools/soak.py therefore
-calibrates this per-upload slope at startup and bounds the REMAINDER
-of RSS growth, which is what the framework is accountable for.
+(a) keeps the per-frame loop upload-free via a device-resident frame
+pool (--device-pool) and (b) enforces the host bound through the
+relay as tracemalloc growth — the allocations the FRAMEWORK itself
+makes — while raw RSS is reported unenforced (it stays the enforced
+bound on CPU and real TPU hosts, where this leak does not exist).
 
 Run: timeout 900 python benchmarks/exp_relay_upload_leak.py
 """

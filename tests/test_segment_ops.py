@@ -172,8 +172,10 @@ def _np_adjacency_bruteforce(seg, S, max_edges):
 @pytest.mark.parametrize("seed,S,max_edges", [(0, 20, 1024), (1, 7, 8), (2, 150, 4096)])
 def test_adjacency_list_matrix_path_matches_bruteforce(seed, S, max_edges):
     """The S<=256 matrix fast path must reproduce the brute-force edge
-    set, layout, and truncation (keep-largest) exactly — including a
-    max_edges smaller than the true edge count (seed 1)."""
+    set, layout, and truncation (keep-SMALLEST pair keys: sorted
+    ascending, truncated at the front — the layout contract both
+    implementations share) exactly — including a max_edges smaller
+    than the true edge count (seed 1)."""
     seg = jax.random.randint(jax.random.PRNGKey(seed), (32, 48), -1, S).astype(jnp.int32)
     e, v = segment_ops.adjacency_list(seg, S, max_edges=max_edges)
     e_ref, v_ref = _np_adjacency_bruteforce(seg, S, max_edges)

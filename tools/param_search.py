@@ -57,14 +57,19 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def sample_space(n_trials: int, seed: int):
-    """Seeded sample of the reference's search space; trial 0 pinned to
-    the production defaults."""
+def sample_space(n_trials: int, seed: int, pin_default: bool = True):
+    """Seeded sample of the reference's search space; when pin_default,
+    trial 0 is pinned to the production defaults (lr 1e-3, w_trav 0.03,
+    w_reco 0.5). Pin only in the variant matching the production
+    anomaly_balanced setting (ADVICE r4: pinning trial 0 of EVERY
+    variant silently duplicated the default hyperparameters under the
+    other variant's label, shrinking effective search coverage)."""
     rng = np.random.RandomState(seed)
     lr = 10.0 ** rng.uniform(-4.0, -2.0, n_trials)
     w_trav = rng.uniform(0.0, 1.0, n_trials)
     w_reco = rng.uniform(0.0, 1.0, n_trials)
-    lr[0], w_trav[0], w_reco[0] = 1e-3, 0.03, 0.5
+    if pin_default:
+        lr[0], w_trav[0], w_reco[0] = 1e-3, 0.03, 0.5
     return lr, w_trav, w_reco
 
 
@@ -232,10 +237,16 @@ def main() -> int:
     variants = {"both": [True, False], "true": [True], "false": [False]}[args.anomaly_balanced]
     per_pop = max(2, args.trials // len(variants))
 
+    from wild_visual_navigation_tpu.utils.loss import TraversabilityLossConfig
+
+    production_ab = TraversabilityLossConfig().anomaly_balanced
     t0 = time.time()
     rows = []
     for ab in variants:
-        lr, wt, wr = sample_space(per_pop, args.seed + int(ab))
+        # pin trial 0 to the production defaults only in the variant
+        # that actually matches the production anomaly_balanced setting
+        pin = ab == production_ab or len(variants) == 1
+        lr, wt, wr = sample_space(per_pop, args.seed + int(ab), pin_default=pin)
         scores, losses, _ = population_fit(
             train, val, lr, wt, wr, epochs=args.epochs,
             batch_size=args.batch_size, seed=args.seed, anomaly_balanced=ab,
@@ -247,13 +258,15 @@ def main() -> int:
                 "lr": round(float(lr[i]), 6), "w_trav": round(float(wt[i]), 4),
                 "w_reco": round(float(wr[i]), 4),
                 "train_loss": float(f"{float(losses[i]):.3g}"),
-                "is_default": i == 0, **m,
+                "is_default": i == 0 and pin and ab == production_ab, **m,
             })
     wall = time.time() - t0
 
     rows_ranked = sorted(rows, key=lambda r: -(r["val_auroc"] if r["val_auroc"] == r["val_auroc"] else -1))
     best = rows_ranked[0]
-    default = next(r for r in rows if r["is_default"])
+    # the pinned production-default row exists unless the sweep was
+    # restricted to the non-production anomaly_balanced variant
+    default = next((r for r in rows if r["is_default"]), None)
 
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "search_results.csv"), "w", newline="") as f:
@@ -281,8 +294,9 @@ def main() -> int:
                   f"| {r['anomaly_balanced']} | {r['val_auroc']} | {r['val_acc']} "
                   f"| {'*' if r['is_default'] else ''} |")
     md.append("")
-    md.append(f"default config: AUROC {default['val_auroc']} (rank "
-              f"{1 + rows_ranked.index(default)}/{len(rows)})")
+    if default is not None:
+        md.append(f"default config: AUROC {default['val_auroc']} (rank "
+                  f"{1 + rows_ranked.index(default)}/{len(rows)})")
     with open(os.path.join(args.out, "search_results.md"), "w") as f:
         f.write("\n".join(md) + "\n")
 

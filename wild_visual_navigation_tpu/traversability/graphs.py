@@ -37,6 +37,10 @@ class BaseGraph:
         self._first_node: Optional[BaseNode] = None
         self._poses = np.zeros((_INITIAL_CAPACITY, 4, 4))
         self._stamps = np.zeros((_INITIAL_CAPACITY,))
+        # lifetime count of nodes dropped by window/FIFO eviction (not
+        # explicit remove_nodes) — observability for long missions,
+        # where eviction semantics must stay correct after many recycles
+        self.evictions_total = 0
 
     # pickling support (reference graphs.py:37-46)
     def __getstate__(self):
@@ -47,6 +51,7 @@ class BaseGraph:
     def __setstate__(self, state):
         self.__dict__.update(state)
         self._lock = threading.Lock()
+        self.__dict__.setdefault("evictions_total", 0)  # pre-r5 pickles
 
     def __str__(self):
         return f"graph with {len(self._nodes)} nodes"
@@ -218,6 +223,7 @@ class MaxElementsGraph(BaseGraph):
             if self._keep_fn is None or not self._keep_fn(self._nodes[i]):
                 keep[i] = False
                 dropped += 1
+        self.evictions_total += dropped
         self._apply_keep(keep)
 
 
@@ -231,6 +237,7 @@ class TemporalWindowGraph(BaseGraph):
     def _evict(self, new_node: BaseNode):
         n = len(self._nodes)
         keep = self._stamps[:n] >= (new_node.timestamp - self._time_window)
+        self.evictions_total += int(n - keep.sum())
         self._apply_keep(keep)
 
 
@@ -249,4 +256,5 @@ class DistanceWindowGraph(BaseGraph):
     def _evict(self, new_node: BaseNode):
         d = self._distances_to(new_node)
         keep = d <= self._max_distance  # NaN distances are dropped
+        self.evictions_total += int(len(keep) - keep.sum())
         self._apply_keep(keep)
