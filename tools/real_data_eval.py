@@ -6,24 +6,53 @@ of real-world data available under zero egress: the reference's stored
 mission graph (`/root/reference/assets/graph/`) — 100 real STEGO
 segments from a forest mission with self-supervised footprint labels,
 plus the REFERENCE MODEL'S OWN stored predictions on that graph
-(trav_pred.pt / reco_pred.pt), giving a direct same-data comparison.
+(trav_pred.pt / reco_pred.pt, exported from its visualizer demo
+fixture, visu/visualizer.py:716-760).
 
-Rows written to results/real_data/real_data_results.{csv,md}:
+Label structure (verified from the fixture): y == y_valid — the 16
+positive labels ARE the footprint-labeled segments; everything else is
+unlabeled and participates only through the confidence weighting, as
+online. AUROC therefore measures "does the model rank footprint
+segments above non-footprint segments".
 
-  reference_stored      AUROC/acc of the reference's stored trav_pred
-                        vs its labels y (the number to match/beat)
-  tpu_offline_mlp       our SimpleMLP trained by offline/trainer.py on
-                        the real features with the real y/y_valid
-                        (confidence-weighted self-supervised loss)
-  tpu_offline_shuffled  label-shuffle control: same training with
-                        permuted labels — must collapse to ~chance,
-                        proving the signal comes from the labels
-  tpu_online_estimator  the real segments pushed through
-                        TraversabilityEstimator's jitted train path
-                        (buffer insert -> sample -> fused train step)
+HELD-OUT evaluation (the primary table, VERDICT r4 #1): the graph's
+nodes are its segments, so a by-node split is a by-segment split. Two
+splits, and for each one EVERY row — including the reference's stored
+predictions — is scored on the SAME val rows only, with models trained
+on the train side only:
+
+  random    stratified 70/30 segment split (seeded)
+  spatial   left half of the image trains, right half evaluates
+            (split at the median segment-center x). The fixture is a
+            single frame with no timestamps, so a true temporal split
+            is not constructible; spatial extrapolation across the
+            camera's view is the closest held-out analogue and is
+            strictly harder than a random split (no neighboring
+            segment of a val segment is ever trained on — feature
+            correlation across the footprint's path is broken).
+
+  rows per split:
+    reference_stored   AUROC of the reference's stored trav_pred on
+                       the val rows (its model was trained online
+                       during the mission — no access to these labels)
+    tpu_offline_mlp    our SimpleMLP trained on the TRAIN rows only
+    tpu_online_estimator  the train rows pushed through
+                       TraversabilityEstimator's jitted online path
+    tpu_offline_shuffled  control: train labels permuted within the
+                       train side — val AUROC must collapse to ~chance
+
+K-FOLD (VERDICT r4 #4 — confidence intervals the single tiny split
+cannot give): 5-fold stratified CV over segments; mean ± std of
+val-fold AUROC for the reference's stored predictions, our MLP, and
+the shuffle control. The control band quantifies exactly how much
+AUROC a no-signal model can score on a ~20-row fold.
+
+FULL-FIT rows (kept for continuity with r4, now labeled what they
+are): trained and evaluated on all 100 segments — fit-capacity
+numbers, NOT a generalization claim and NOT directly comparable to
+reference_stored (whose predictions are honest out-of-sample).
 
 Also renders visualizer goldens from the stored reference predictions
-(the reference's own demo consumption path, visu/visualizer.py:662-760)
 into assets/goldens/reference_graph/.
 
 Usage: python tools/real_data_eval.py [--out results/real_data]
@@ -42,27 +71,35 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _auroc(scores, labels) -> float:
+    from wild_visual_navigation_tpu.offline.metrics import auroc
+
+    return float(auroc(np.asarray(scores), np.asarray(labels)))
+
+
 def eval_row(name: str, scores: np.ndarray, labels: np.ndarray, extra=None) -> dict:
-    from wild_visual_navigation_tpu.offline.metrics import accuracy, auroc, optimal_threshold
+    from wild_visual_navigation_tpu.offline.metrics import accuracy, optimal_threshold
 
     thr = optimal_threshold(scores, labels)
     row = {
         "model": name,
-        "auroc": round(float(auroc(scores, labels)), 4),
+        "auroc": round(_auroc(scores, labels), 4),
         "acc_opt": round(float(accuracy(scores, labels, thr)), 4),
     }
     row.update(extra or {})
     return row
 
 
-def train_offline(ref, y, y_valid, epochs: int = 60, seed: int = 0):
-    """Offline trainer on the real graph, segments-as-samples."""
+# --------------------------------------------------------------- training
+def train_offline(x, y, y_valid, epochs: int = 60, seed: int = 0):
+    """Offline trainer on (x, y, y_valid) segments-as-samples; returns
+    (trainer, score_fn) where score_fn maps features -> trav scores."""
     from wild_visual_navigation_tpu.offline.dataset import GraphTravDataset
     from wild_visual_navigation_tpu.offline.trainer import OfflineTrainer, OfflineTrainerConfig
 
-    S, D = ref.x.shape
+    S, D = x.shape
     ds = GraphTravDataset(
-        features=ref.x[:, None, :],
+        features=x[:, None, :],
         signal=y[:, None].astype(np.float32),
         signal_valid=y_valid[:, None],
         sample_valid=np.ones((S, 1), bool),
@@ -73,26 +110,28 @@ def train_offline(ref, y, y_valid, epochs: int = 60, seed: int = 0):
     trainer.fit(ds)
     import jax.numpy as jnp
 
-    scores = np.asarray(trainer._predict(trainer.params, jnp.asarray(ref.x)))
-    return trainer, scores
+    def score(feats: np.ndarray) -> np.ndarray:
+        return np.asarray(trainer._predict(trainer.params, jnp.asarray(feats)))
+
+    return trainer, score
 
 
-def train_online(ref, steps: int = 400, nodes: int = 10, seed: int = 0):
-    """Push the real segments through TraversabilityEstimator's jitted
-    train path: chunk the 100 segments into `nodes` mission nodes
+def train_online(x, y, y_valid, steps: int = 400, nodes: int = 10, seed: int = 0):
+    """Push real segments through TraversabilityEstimator's jitted
+    train path: chunk the S train segments into `nodes` mission nodes
     (fixed permutation so footprint labels spread across nodes), insert
     via add_mission_node, inject the real supervision signal into the
     device ring buffer (this fixture carries no poses, so the
     reprojection stage is bypassed — the signal is exactly what
-    reprojection would have produced), then run train()."""
-    import jax
+    reprojection would have produced), then run train(). Returns
+    (estimator, score_fn, losses)."""
     import jax.numpy as jnp
 
     from wild_visual_navigation_tpu.models import apply_model
     from wild_visual_navigation_tpu.traversability.estimator import TraversabilityEstimator
     from wild_visual_navigation_tpu.traversability.nodes import MissionNode
 
-    S, D = ref.x.shape
+    S, D = x.shape
     per = S // nodes
     perm = np.random.RandomState(seed).permutation(S)
 
@@ -120,10 +159,10 @@ def train_online(ref, steps: int = 400, nodes: int = 10, seed: int = 0):
         pose = np.eye(4)
         pose[0, 3] = i * 1.0  # spread out past the distance gate
         node = MissionNode(timestamp=float(i), pose_base_in_world=pose)
-        ok = est.add_mission_node(node, ref.x[sel], np.ones(per, bool), seg, K)
+        ok = est.add_mission_node(node, x[sel], np.ones(per, bool), seg, K)
         assert ok, f"node {i} rejected by the distance gate"
-        sig[node.buffer_slot] = ref.y[sel]
-        sigv[node.buffer_slot] = ref.y_valid[sel]
+        sig[node.buffer_slot] = y[sel]
+        sigv[node.buffer_slot] = y_valid[sel]
         node._has_supervision = True
 
     with est.lock:
@@ -137,10 +176,113 @@ def train_online(ref, steps: int = 400, nodes: int = 10, seed: int = 0):
         if r.get("loss_total", -1) != -1:
             losses.append(r["loss_total"])
 
-    scores = np.asarray(apply_model(est.model, est.params, jnp.asarray(ref.x))[:, 0])
-    return est, scores, losses
+    def score(feats: np.ndarray) -> np.ndarray:
+        return np.asarray(apply_model(est.model, est.params, jnp.asarray(feats))[:, 0])
+
+    return est, score, losses
 
 
+# ----------------------------------------------------------------- splits
+def stratified_split(labels: np.ndarray, val_frac: float, seed: int):
+    """Seeded (train_idx, val_idx) with the positive fraction preserved
+    on both sides."""
+    rng = np.random.RandomState(seed)
+    pos = rng.permutation(np.flatnonzero(labels))
+    neg = rng.permutation(np.flatnonzero(~labels))
+    n_pos_val = max(2, int(round(len(pos) * val_frac)))
+    n_neg_val = max(2, int(round(len(neg) * val_frac)))
+    val = np.concatenate([pos[:n_pos_val], neg[:n_neg_val]])
+    train = np.concatenate([pos[n_pos_val:], neg[n_neg_val:]])
+    return np.sort(train), np.sort(val)
+
+
+def spatial_split(centers: np.ndarray, reverse: bool = False):
+    """Left half of the image trains, right half evaluates (or the
+    reverse). Both directions are reported: the footprint path is not
+    symmetric (4 positives on the left side, 12 on the right), so the
+    two directions bracket the spatial-extrapolation difficulty."""
+    med_x = np.median(centers[:, 0])
+    left = centers[:, 0] < med_x
+    if reverse:
+        return np.flatnonzero(~left), np.flatnonzero(left)
+    return np.flatnonzero(left), np.flatnonzero(~left)
+
+
+def stratified_kfold(labels: np.ndarray, k: int, seed: int):
+    """Seeded k-fold with positives spread round-robin across folds;
+    yields (train_idx, val_idx) per fold."""
+    rng = np.random.RandomState(seed)
+    pos = rng.permutation(np.flatnonzero(labels))
+    neg = rng.permutation(np.flatnonzero(~labels))
+    folds = [np.concatenate([pos[f::k], neg[f::k]]) for f in range(k)]
+    all_idx = np.arange(len(labels))
+    for f in range(k):
+        val = np.sort(folds[f])
+        train = np.sort(np.setdiff1d(all_idx, val))
+        yield train, val
+
+
+# ------------------------------------------------------------- held-out
+def evaluate_split(ref, split_name: str, tr, va, epochs: int, online_steps: int,
+                   seed: int = 0) -> list:
+    """All four rows scored on the SAME val rows; models see train only."""
+    labels = ref.y > 0.5
+    rows = []
+
+    def row(model_name, scores_va, extra=None):
+        r = eval_row(model_name, scores_va, labels[va], extra)
+        r["split"] = split_name
+        r["n_train"] = len(tr)
+        r["n_val"] = len(va)
+        r["val_pos"] = int(labels[va].sum())
+        rows.append(r)
+        return r
+
+    # the reference model's stored predictions, restricted to val rows
+    row("reference_stored", ref.trav_pred[va])
+
+    # our offline trainer, fit on the train side only
+    _, score = train_offline(ref.x[tr], ref.y[tr], ref.y_valid[tr], epochs=epochs, seed=seed)
+    row("tpu_offline_mlp", score(ref.x[va]))
+
+    # the online estimator's jitted train path, train rows only
+    est, score_on, losses = train_online(ref.x[tr], ref.y[tr], ref.y_valid[tr],
+                                         steps=online_steps, seed=seed)
+    row("tpu_online_estimator", score_on(ref.x[va]),
+        {"train_steps": est.step,
+         "loss_last": round(float(losses[-1]), 4) if losses else None})
+
+    # label-shuffle control: permute the train labels, eval unchanged
+    rng = np.random.RandomState(123 + seed)
+    perm = rng.permutation(len(tr))
+    _, score_sh = train_offline(ref.x[tr], ref.y[tr][perm], ref.y_valid[tr][perm],
+                                epochs=epochs, seed=seed + 1)
+    row("tpu_offline_shuffled", score_sh(ref.x[va]))
+    return rows
+
+
+def evaluate_kfold(ref, k: int, epochs: int, seed: int = 0) -> dict:
+    """5-fold CV: mean +/- std of val-fold AUROC per model. The shuffle
+    band is the noise floor a ranking must clear."""
+    labels = ref.y > 0.5
+    per_model: dict = {"reference_stored": [], "tpu_offline_mlp": [], "tpu_offline_shuffled": []}
+    for f, (tr, va) in enumerate(stratified_kfold(labels, k, seed)):
+        per_model["reference_stored"].append(_auroc(ref.trav_pred[va], labels[va]))
+        _, score = train_offline(ref.x[tr], ref.y[tr], ref.y_valid[tr], epochs=epochs, seed=seed + f)
+        per_model["tpu_offline_mlp"].append(_auroc(score(ref.x[va]), labels[va]))
+        rng = np.random.RandomState(1000 + f)
+        perm = rng.permutation(len(tr))
+        _, score_sh = train_offline(ref.x[tr], ref.y[tr][perm], ref.y_valid[tr][perm],
+                                    epochs=epochs, seed=seed + 100 + f)
+        per_model["tpu_offline_shuffled"].append(_auroc(score_sh(ref.x[va]), labels[va]))
+    return {
+        m: {"mean": round(float(np.mean(v)), 4), "std": round(float(np.std(v)), 4),
+            "folds": [round(x, 4) for x in v]}
+        for m, v in per_model.items()
+    }
+
+
+# -------------------------------------------------------------- goldens
 def render_goldens(ref, folder: str):
     from PIL import Image
 
@@ -172,6 +314,7 @@ def main() -> int:
     ap.add_argument("--goldens", type=str, default="assets/goldens/reference_graph")
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--online-steps", type=int, default=400)
+    ap.add_argument("--kfold", type=int, default=5)
     args = ap.parse_args()
 
     from wild_visual_navigation_tpu.offline.reference_graph import (
@@ -187,71 +330,104 @@ def main() -> int:
     ref = load_reference_graph()
     labels = ref.y > 0.5
     print(f"loaded real mission graph: {ref.num_segments} segments x {ref.feature_dim}-dim "
-          f"STEGO features, {int(labels.sum())} footprint-labeled, "
+          f"STEGO features, {int(ref.y_valid.sum())} footprint-labeled (y == y_valid), "
           f"{ref.edge_index.shape[1]} adjacency edges, img {ref.img.shape}")
 
-    rows = []
+    # ---- held-out splits (the primary table) ----
+    held_rows = []
+    tr, va = stratified_split(labels, val_frac=0.3, seed=0)
+    held_rows += evaluate_split(ref, "random", tr, va, args.epochs, args.online_steps)
+    tr, va = spatial_split(ref.centers)
+    held_rows += evaluate_split(ref, "spatial", tr, va, args.epochs, args.online_steps)
+    tr, va = spatial_split(ref.centers, reverse=True)
+    held_rows += evaluate_split(ref, "spatial_rev", tr, va, args.epochs, args.online_steps)
+    for r in held_rows:
+        print("held-out:", r)
 
-    # 1. The reference model's own stored predictions on this graph.
+    # ---- k-fold CIs ----
+    kf = evaluate_kfold(ref, k=args.kfold, epochs=args.epochs)
+    print("kfold:", kf)
+
+    # ---- full-fit rows (continuity; fit-capacity, NOT generalization) ----
+    full_rows = []
     conf = reference_confidence(ref.reco_pred, ref.x)
-    rows.append(eval_row("reference_stored", ref.trav_pred, labels,
-                         {"conf_auroc": round(float(__import__('wild_visual_navigation_tpu.offline.metrics', fromlist=['auroc']).auroc(conf, labels)), 4)}))
-    print("reference_stored:", rows[-1])
-
-    # 2. Our offline trainer on the real features + real labels.
-    trainer, scores = train_offline(ref, ref.y, ref.y_valid, epochs=args.epochs)
+    full_rows.append(eval_row("reference_stored", ref.trav_pred, labels,
+                              {"conf_auroc": round(_auroc(conf, labels), 4)}))
+    trainer, score = train_offline(ref.x, ref.y, ref.y_valid, epochs=args.epochs)
     import jax.numpy as jnp
 
-    our_reco = np.asarray(
-        __import__("wild_visual_navigation_tpu.models", fromlist=["apply_model"]).apply_model(
-            trainer.model, trainer.params, jnp.asarray(ref.x)
-        )[:, 1:]
-    )
+    from wild_visual_navigation_tpu.models import apply_model
+
+    our_reco = np.asarray(apply_model(trainer.model, trainer.params, jnp.asarray(ref.x))[:, 1:])
     our_conf = reference_confidence(our_reco, ref.x)
-    from wild_visual_navigation_tpu.offline.metrics import auroc as _auroc
-
-    rows.append(eval_row("tpu_offline_mlp", scores, labels,
-                         {"conf_auroc": round(float(_auroc(our_conf, labels)), 4)}))
-    print("tpu_offline_mlp:", rows[-1])
-
-    # 3. Label-shuffle control.
+    full_rows.append(eval_row("tpu_offline_mlp_fullfit", score(ref.x), labels,
+                              {"conf_auroc": round(_auroc(our_conf, labels), 4)}))
     rng = np.random.RandomState(123)
     perm = rng.permutation(ref.num_segments)
-    _, shuf_scores = train_offline(ref, ref.y[perm], ref.y_valid[perm], epochs=args.epochs, seed=1)
-    rows.append(eval_row("tpu_offline_shuffled", shuf_scores, labels))
-    print("tpu_offline_shuffled:", rows[-1])
+    _, score_sh = train_offline(ref.x, ref.y[perm], ref.y_valid[perm], epochs=args.epochs, seed=1)
+    full_rows.append(eval_row("tpu_offline_shuffled_fullfit", score_sh(ref.x), labels))
+    est, score_on, losses = train_online(ref.x, ref.y, ref.y_valid, steps=args.online_steps)
+    full_rows.append(eval_row("tpu_online_estimator_fullfit", score_on(ref.x), labels,
+                              {"train_steps": est.step,
+                               "loss_first": round(float(losses[0]), 4) if losses else None,
+                               "loss_last": round(float(losses[-1]), 4) if losses else None}))
+    for r in full_rows:
+        print("full-fit:", r)
 
-    # 4. The online estimator's jitted train path.
-    est, online_scores, losses = train_online(ref, steps=args.online_steps)
-    rows.append(eval_row("tpu_online_estimator", online_scores, labels,
-                         {"train_steps": est.step,
-                          "loss_first": round(float(losses[0]), 4) if losses else None,
-                          "loss_last": round(float(losses[-1]), 4) if losses else None}))
-    print("tpu_online_estimator:", rows[-1])
-
+    # ---- write artifacts ----
     os.makedirs(args.out, exist_ok=True)
-    keys = ["model", "auroc", "acc_opt", "conf_auroc", "train_steps", "loss_first", "loss_last"]
-    with open(os.path.join(args.out, "real_data_results.csv"), "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=keys)
+    held_keys = ["split", "model", "auroc", "acc_opt", "n_train", "n_val", "val_pos",
+                 "train_steps", "loss_last"]
+    with open(os.path.join(args.out, "real_data_heldout.csv"), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=held_keys)
         w.writeheader()
-        w.writerows(rows)
+        w.writerows([{k: r.get(k, "") for k in held_keys} for r in held_rows])
+    full_keys = ["model", "auroc", "acc_opt", "conf_auroc", "train_steps", "loss_first", "loss_last"]
+    with open(os.path.join(args.out, "real_data_results.csv"), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=full_keys)
+        w.writeheader()
+        w.writerows([{k: r.get(k, "") for k in full_keys} for r in full_rows])
+
+    import json
+
+    with open(os.path.join(args.out, "real_data_kfold.json"), "w") as f:
+        json.dump({"k": args.kfold, "epochs": args.epochs, "auroc": kf}, f, indent=1)
+
     with open(os.path.join(args.out, "real_data_results.md"), "w") as f:
         f.write("# Real-mission-data validation\n\n")
         f.write("Data: `/root/reference/assets/graph/` — 100 real STEGO segments from a recorded\n"
-                "forest mission with self-supervised footprint labels, plus the reference model's\n"
-                "stored predictions on the same graph (its visualizer demo fixture,\n"
-                "`visu/visualizer.py:662-760`). All rows score AUROC against the stored labels `y`\n"
-                "on the full graph — identical data, identical metric, so `reference_stored` vs the\n"
-                "`tpu_*` rows is a direct same-data comparison. `tpu_offline_shuffled` is a\n"
-                "label-permutation control (must be ~chance). Regenerate:\n"
-                "`python tools/real_data_eval.py`.\n\n")
-        f.write("| " + " | ".join(keys) + " |\n")
-        f.write("|" + "---|" * len(keys) + "\n")
-        for r in rows:
-            f.write("| " + " | ".join(str(r.get(k, "—")) for k in keys) + " |\n")
+                "forest mission with self-supervised footprint labels (y == y_valid: the 16\n"
+                "positives ARE the footprint segments; the rest are unlabeled), plus the\n"
+                "reference model's stored predictions on the same graph (its visualizer demo\n"
+                "fixture, `visu/visualizer.py:716-760`). Regenerate: `python tools/real_data_eval.py`.\n\n")
+        f.write("## Held-out generalization (primary)\n\n")
+        f.write("Models train on the TRAIN side only; every row — including the reference's\n"
+                "stored predictions — is scored on the SAME val rows. `spatial` trains on the\n"
+                "left half of the image and evaluates on the right (the single-frame fixture\n"
+                "carries no timestamps, so spatial extrapolation is the held-out analogue of a\n"
+                "temporal split; it is harder than `random` — no val segment has a trained\n"
+                "neighbor). The shuffle control bounds what a no-signal model scores.\n\n")
+        f.write("| " + " | ".join(held_keys) + " |\n")
+        f.write("|" + "---|" * len(held_keys) + "\n")
+        for r in held_rows:
+            f.write("| " + " | ".join(str(r.get(k, "—")) for k in held_keys) + " |\n")
+        f.write(f"\n## {args.kfold}-fold CV (val-fold AUROC, mean ± std)\n\n")
+        f.write("| model | mean | std | folds |\n|---|---|---|---|\n")
+        for m, v in kf.items():
+            f.write(f"| {m} | {v['mean']} | {v['std']} | {v['folds']} |\n")
+        f.write("\n## Full-graph fit (fit-capacity only — NOT a generalization claim)\n\n")
+        f.write("Trained and evaluated on all 100 segments. `reference_stored` is NOT directly\n"
+                "comparable here: its predictions come from a model trained online during the\n"
+                "mission, without access to these labels — compare it in the held-out table\n"
+                "above, where all rows share the same val rows.\n\n")
+        f.write("| " + " | ".join(full_keys) + " |\n")
+        f.write("|" + "---|" * len(full_keys) + "\n")
+        for r in full_rows:
+            f.write("| " + " | ".join(str(r.get(k, "—")) for k in full_keys) + " |\n")
 
     render_goldens(ref, args.goldens)
-    print(f"\nwrote {args.out}/real_data_results.{{csv,md}} and goldens under {args.goldens}/")
+    print(f"\nwrote {args.out}/real_data_heldout.csv, real_data_kfold.json, "
+          f"real_data_results.{{csv,md}} and goldens under {args.goldens}/")
     return 0
 
 
