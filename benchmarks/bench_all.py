@@ -1,21 +1,24 @@
-"""Consolidated benchmark artifact (VERDICT r3 #4).
+"""Consolidated benchmark artifact (VERDICT r3 #4, r4 #3).
 
 Runs every benchmark the README cites — the pixelwise headline
 (bench.py), the online loop (bench_online.py), the config-5 product
 runtime in BOTH scoring modes (bench_multicam.py --product
 [--pixelwise]), and the non-dino feature modes (bench_feature_modes.py)
 — each as a subprocess on the real chip, and writes ONE regenerable
-JSON (default results/bench_r04.json) the README numbers cite.
+JSON (default results/bench_r05.json) the README numbers cite.
 
 Every child prints its result as the last parseable JSON line of
-stdout; this runner records that plus wall time, the device, and the
-git revision, so a claim in the README can always be traced to the
-command that measured it. A child that fails records its error instead
-of aborting the sweep (the relay occasionally drops a connection;
-partial artifacts beat none), and the top-level "ok" flag goes false.
+stdout; this runner records that plus wall time, the device, the git
+revision AND a dirty-tree flag (the artifact is only citable when
+git_rev == HEAD and dirty == false), and a TRANSPORT PROBE sample
+(benchmarks/probe.py) taken immediately before each section — so a
+slow section can be adjudicated against the relay's state at that
+moment. A child that fails records its error instead of aborting the
+sweep (the relay occasionally drops a connection; partial artifacts
+beat none), and the top-level "ok" flag goes false.
 
 Usage:
-  python benchmarks/bench_all.py                 # full sweep -> results/bench_r04.json
+  python benchmarks/bench_all.py                 # full sweep -> results/bench_r05.json
   python benchmarks/bench_all.py --only online   # one section, for iteration
 """
 
@@ -85,7 +88,7 @@ def run_section(key: str, argv: list, timeout: int) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", type=str, default="results/bench_r04.json")
+    ap.add_argument("--out", type=str, default="results/bench_r05.json")
     ap.add_argument("--only", type=str, default=None,
                     help="run one section by key substring (e.g. 'online')")
     args = ap.parse_args()
@@ -95,8 +98,12 @@ def main() -> int:
             ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
             capture_output=True, text=True,
         ).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain"], cwd=REPO,
+            capture_output=True, text=True,
+        ).stdout.strip())
     except OSError:
-        rev = "unknown"
+        rev, dirty = "unknown", True
 
     sections = [s for s in SECTIONS if args.only is None or args.only in s[0]]
     if not sections:
@@ -105,12 +112,22 @@ def main() -> int:
 
     out = {
         "git_rev": rev,
+        # the README may cite this artifact only when it was generated
+        # at a clean checkout of the revision it claims (VERDICT r4 #3)
+        "git_dirty": dirty,
         "generated_by": "python benchmarks/bench_all.py",
         "sections": {},
     }
     for key, argv, timeout in sections:
         print(f"== {key}: {' '.join(argv[1:])}", flush=True)
-        out["sections"][key] = run_section(key, argv, timeout)
+        # transport-probe sample immediately before the section: the
+        # relay's round-trip latency at measurement time, for
+        # adjudicating slow/jittery sections (benchmarks/probe.py)
+        probe = run_section(f"probe_before_{key}",
+                            [sys.executable, "benchmarks/probe.py"], 300)
+        section = run_section(key, argv, timeout)
+        section["probe_before"] = probe.get("result", {"error": probe.get("error")})
+        out["sections"][key] = section
         print(json.dumps(out["sections"][key].get("result",
                                                   out["sections"][key]))[:400], flush=True)
 

@@ -140,15 +140,33 @@ def product_main(args):
     dt = (time.time() - t0) / args.iters
 
     # per-cycle latency distribution (each cycle fenced -> includes one
-    # relay round trip; conservative upper bound)
-    ts = []
+    # relay round trip; conservative upper bound). Decomposed per cycle
+    # (VERDICT r4 #3) into host DISPATCH time (enqueueing the cycle's
+    # programs), FENCE WAIT (device execution + relay round trip), and
+    # an interleaved TRANSPORT PROBE (benchmarks/probe.py — a trivial
+    # fenced dispatch, the pure relay RTT at that moment), so a p95
+    # above the frame time can be attributed: chip work is bounded by
+    # fence_wait - probe; the probe series is the relay's share.
+    from benchmarks.probe import make_probe
+
+    probe_ms_fn = make_probe()
+    ts, disp, waits, probes = [], [], [], []
     for i in range(args.lat_iters):
+        probes.append(probe_ms_fn(3))
         t1 = time.time()
         res = one_cycle(1000.0 + i, frames[i % len(frames)] + float(i) * 1e-9)
+        t2 = time.time()
         float(jnp.sum(res[0].traversability))
-        ts.append(time.time() - t1)
-    ts = ts[4:]
+        t3 = time.time()
+        ts.append(t3 - t1)
+        disp.append(t2 - t1)
+        waits.append(t3 - t2)
+    ts, disp, waits, probes = ts[4:], disp[4:], waits[4:], probes[4:]
     p50, p95 = _percentiles(ts)
+    disp_p50, disp_p95 = _percentiles(disp)
+    wait_p50, wait_p95 = _percentiles(waits)
+    probe_p50 = round(float(np.percentile(probes, 50)), 2)
+    probe_p95 = round(float(np.percentile(probes, 95)), 2)
     frame_ms = 100.0  # 10 Hz design gate (reference default.yaml:39)
 
     result = {
@@ -161,7 +179,19 @@ def product_main(args):
         "valid_nodes": rt.estimator.get_num_valid_nodes(),
         "cycle_p50_ms": p50,
         "cycle_p95_ms": p95,
+        # decomposition of the fenced per-cycle latency:
+        "dispatch_p50_ms": disp_p50,   # host-side program enqueue
+        "dispatch_p95_ms": disp_p95,
+        "fence_wait_p50_ms": wait_p50,  # device execution + relay RTT
+        "fence_wait_p95_ms": wait_p95,
+        "probe_ms_p50": probe_p50,      # pure relay RTT (no framework work)
+        "probe_ms_p95": probe_p95,
+        "probe_series_ms": probes,
+        "cycle_minus_probe_p50_ms": round(p50 - probe_p50, 2),
+        "cycle_minus_probe_p95_ms": round(p95 - probe_p95, 2),
         "fraction_cycles_under_frame_time": round(float(np.mean(np.asarray(ts) < frame_ms / 1e3)), 3),
+        "fraction_cycles_under_frame_time_minus_probe": round(
+            float(np.mean((np.asarray(ts) - np.asarray(probes) / 1e3) < frame_ms / 1e3)), 3),
         "meets_10hz_gate": bool(1.0 / dt >= 10.0),
     }
     print(json.dumps(result))
