@@ -161,11 +161,14 @@ def child(rank: int, procs: int, devices: int, coord: str) -> None:
           f"checksum={checksum:.8f} starved_checksum={checksum2:.8f}", flush=True)
 
 
-def runtime_child(rank: int, procs: int, devices: int, coord: str) -> None:
+def runtime_child(rank: int, procs: int, devices: int, coord: str, tp: int = 1) -> None:
     """One camera group's FULL runtime loop under jax.distributed: the
     per-process online system (callbacks, scheduler gates, supervision,
     hot-swap cadence) with its learning ticks joined into the global
-    collective train step."""
+    collective train step. tp > 1 runs the collective step on a
+    ("dp", "tp") mesh — the head's Dense kernels Megatron-split over
+    tp — so head sharding rides the full runtime loop (VERDICT r4 #6);
+    the checksum assertion then also covers the tp re-gather path."""
     from wild_visual_navigation_tpu.parallel.distributed import initialize_process
 
     initialize_process(coord, procs, rank, cpu_devices=devices)
@@ -198,7 +201,7 @@ def runtime_child(rank: int, procs: int, devices: int, coord: str) -> None:
     # promotes local state to replicated global arrays)
     rt = WVNRuntime(fe_params=fe, ln_params=ln, exp_params=exp,
                     key=jax.random.PRNGKey(0), buffer_capacity=32, reprojection_fanout=8)
-    rt.attach_distributed_trainer()
+    rt.attach_distributed_trainer(tp=tp)
 
     # Per-rank camera sequence (different world texture/noise, same
     # event cadence -> every rank reaches learning ticks in lockstep;
@@ -221,10 +224,12 @@ def runtime_child(rank: int, procs: int, devices: int, coord: str) -> None:
     trav = np.asarray(res.traversability)
     assert np.isfinite(trav).all() and trav.shape == (size, size)
 
+    mesh_axes = tuple(rt._dist_trainer._mesh.axis_names)
     checksum = float(sum(np.abs(np.asarray(l)).sum()
                          for l in jax.tree_util.tree_leaves(rt.estimator.params)))
     print(f"[rank {rank}] RUNTIME OK steps={rt._dist_trainer.step_count} "
           f"frames={report.frames_processed} loss={report.final_loss:.6f} "
+          f"mesh={mesh_axes} tp={tp} "
           f"checksum={checksum:.8f}", flush=True)
 
 
@@ -235,13 +240,16 @@ def main() -> int:
     ap.add_argument("--timeout", type=float, default=240.0)
     ap.add_argument("--runtime", action="store_true",
                     help="drive the full WVNRuntime per rank instead of bare estimators")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="(--runtime) tensor-parallel degree: the collective train "
+                         "step runs on a (dp, tp) mesh with the head Megatron-split")
     ap.add_argument("--rank", type=int, default=None, help="(internal) run as this child rank")
     ap.add_argument("--coord", type=str, default=None)
     args = ap.parse_args()
 
     if args.rank is not None:
         if args.runtime:
-            runtime_child(args.rank, args.procs, args.devices, args.coord)
+            runtime_child(args.rank, args.procs, args.devices, args.coord, tp=args.tp)
         else:
             child(args.rank, args.procs, args.devices, args.coord)
         return 0
@@ -256,7 +264,7 @@ def main() -> int:
         procs.append(subprocess.Popen(
             [sys.executable, __file__, "--rank", str(rank), "--procs", str(args.procs),
              "--devices", str(args.devices), "--coord", coord]
-            + (["--runtime"] if args.runtime else []),
+            + (["--runtime", "--tp", str(args.tp)] if args.runtime else []),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         ))
     outs, rcs = [], []

@@ -57,16 +57,31 @@ def initialize_process(
     )
 
 
-def create_global_mesh():
-    """1-D ("dp",) mesh over ALL processes' devices — the distributed
-    trainer's batch axis. (tp inside the train step is pointless for
-    the MLP head; the backbone's tp mesh stays process-local.)"""
+def create_global_mesh(tp: int = 1):
+    """Mesh over ALL processes' devices — ("dp",) for tp == 1 (the
+    trainer's batch axis; replicated params), or a 2-D ("dp", "tp")
+    mesh for tp > 1: batch rows split over dp, the head's Dense layers
+    Megatron-split over tp (parallel/mesh.py::mlp_param_spec), so the
+    collective train step exercises BOTH gradient psum over dp and the
+    tp gathers on the layer boundaries (VERDICT r4 #6). tp must divide
+    the per-process device count so each tp group stays intra-host
+    (its all-gathers ride local links, not DCN)."""
     import jax
     from jax.experimental import mesh_utils
     from jax.sharding import Mesh
 
-    arr = mesh_utils.create_device_mesh((len(jax.devices()),))
-    return Mesh(arr, axis_names=("dp",))
+    n = len(jax.devices())
+    if tp <= 1:
+        arr = mesh_utils.create_device_mesh((n,))
+        return Mesh(arr, axis_names=("dp",))
+    assert n % tp == 0, f"tp={tp} must divide global device count {n}"
+    n_local = len(jax.local_devices())
+    assert n_local % tp == 0, (
+        f"tp={tp} must divide the per-process device count {n_local} "
+        "(tp groups must not straddle hosts)"
+    )
+    arr = mesh_utils.create_device_mesh((n // tp, tp))
+    return Mesh(arr, axis_names=("dp", "tp"))
 
 
 def _to_global(x, sharding):
@@ -95,22 +110,38 @@ class DistributedTrainer:
     ignore, so slow camera groups never deadlock the fleet.
     """
 
-    def __init__(self, estimator, mesh=None):
+    def __init__(self, estimator, mesh=None, tp: int = 1):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..models import model_needs_edges
 
         self._est = estimator
-        self._mesh = mesh or create_global_mesh()
+        self._mesh = mesh or create_global_mesh(tp)
+        self._tp = tp
         self._dp = NamedSharding(self._mesh, P("dp"))
         self._repl = NamedSharding(self._mesh, P())
-        # Promote the local optimization state to global replicated
-        # arrays (collective). All processes start from the same seed,
-        # so the local copies are identical by construction; a loaded
+        # Promote the local optimization state to global arrays
+        # (collective). All processes start from the same seed, so the
+        # local copies are identical by construction; a loaded
         # checkpoint must be loaded by every process before this.
+        # tp > 1: the head's Dense kernels are Megatron-split over the
+        # mesh's tp axis (mlp_param_spec); everything else — optimizer
+        # moments included — stays replicated, and XLA inserts the
+        # gathers where the two shardings meet. Numerics are unchanged
+        # (grad psum over dp, identical updates on every tp shard's
+        # replicated view).
         to_repl = lambda t: jax.tree_util.tree_map(lambda l: _to_global(l, self._repl), t)
-        self._params = to_repl(estimator.params)
+        if tp > 1:
+            from .mesh import mlp_param_spec
+
+            spec_tree = mlp_param_spec(estimator.params, tp=tp)
+            self._params = jax.tree_util.tree_map(
+                lambda l, s: _to_global(l, NamedSharding(self._mesh, s)),
+                estimator.params, spec_tree,
+            )
+        else:
+            self._params = to_repl(estimator.params)
         self._opt_state = to_repl(estimator._opt_state)
         self._cg_state = type(estimator.confidence_state)(
             *[_to_global(l, self._repl) for l in estimator.confidence_state]
@@ -215,16 +246,28 @@ class DistributedTrainer:
                 **{k: float(v) for k, v in aux.items()}}
 
     def sync_to_estimator(self) -> None:
-        """Write the replicated global params / optimizer / confidence
-        state back into the local estimator (hot-swap + checkpoint
-        surface). Local-only; call at the checkpoint cadence."""
+        """Write the global params / optimizer / confidence state back
+        into the local estimator (hot-swap + checkpoint surface).
+        COLLECTIVE when tp > 1 (the tp-sharded kernels are re-gathered
+        to replicated by a compiled identity — every process must
+        call); local-only reads otherwise. Call at the checkpoint
+        cadence."""
         import jax
         import jax.numpy as jnp
 
+        params, opt_state = self._params, self._opt_state
+        if self._tp > 1:
+            # compiled all-gather: reshard every leaf to replicated so
+            # addressable_data(0) holds the full value on every process
+            # (the jitted step may have propagated the kernels' tp
+            # sharding into the Adam moments too)
+            tree = (params, opt_state)
+            params, opt_state = jax.jit(lambda t: t, out_shardings=jax.tree_util.tree_map(
+                lambda _: self._repl, tree))(tree)
         local = lambda t: jax.tree_util.tree_map(lambda l: jnp.asarray(_to_local(l)), t)
         self._est.adopt_train_state(
-            local(self._params),
-            local(self._opt_state),
+            local(params),
+            local(opt_state),
             type(self._est.confidence_state)(
                 *[jnp.asarray(_to_local(l)) for l in self._cg_state]
             ),

@@ -854,17 +854,19 @@ class WVNRuntime:
         return self.estimator.add_supervision_node(node)
 
     # ---------------------------------------------------------- learning
-    def attach_distributed_trainer(self, trainer=None):
+    def attach_distributed_trainer(self, trainer=None, tp: int = 1):
         """Multi-host mode (parallel/distributed.py): learning_step
         joins the COLLECTIVE global train step instead of stepping the
         local estimator — every process's runtime must call
         learning_step at the same cadence. Pass an existing
-        DistributedTrainer or None to build one over the global mesh.
-        Ingestion (camera callbacks, supervision) stays process-local."""
+        DistributedTrainer or None to build one over the global mesh
+        (tp > 1: a ("dp", "tp") mesh with the head's Dense kernels
+        Megatron-split over tp — see create_global_mesh). Ingestion
+        (camera callbacks, supervision) stays process-local."""
         if trainer is None:
             from ..parallel.distributed import DistributedTrainer
 
-            trainer = DistributedTrainer(self.estimator)
+            trainer = DistributedTrainer(self.estimator, tp=tp)
         self._dist_trainer = trainer
         return trainer
 
