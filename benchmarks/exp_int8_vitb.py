@@ -1,12 +1,33 @@
-"""Does the W8A8 backbone win at ViT-B @644 (config-5 shape)?
+"""Does an int8 backbone win at ViT-B @644 (config-5 shape)?
 
-At ViT-S @448 int8 LOSES (565 vs 689 img/s): the softmax exp VPU floor
-dominates and dynamic-quant reductions cost more than the halved MXU
-time. ViT-B @644 has 4x the matmul FLOPs per token and S=2117, so the
-MXU fraction is much higher — the int8 economics may flip.
+VERDICT r4 #5. At ViT-S @448 DYNAMIC int8 loses (565 vs 689 img/s).
+ViT-B @644 has 4x the matmul FLOPs per token and S=2117, so the MXU
+fraction is much higher. This experiment measures, interleaved over
+rounds on the same inputs (value-fenced medians, see bench.py method):
 
-Run: timeout 1200 python benchmarks/exp_int8_vitb.py
+  bf16             the production backbone (flash attention)
+  int8             W8A8 dynamic activation scales (per-call reductions)
+  int8_static      W8A8 with CALIBRATED static activation scales — the
+                   per-call reduction deleted (models/quant.py,
+                   vit.py::calibrate_int8_static)
+  int8_static+att  static dense scales AND both attention matmuls on
+                   the int8 MXU path (attention_impl="xla_int8")
+
+plus a PURE-MATMUL decomposition at the exact layer shapes
+(N=B*2117 rows; D=768; qkv/fc 768x2304 / 768x3072): bf16 vs int8
+dot_general including quant/rescale, isolating where the MXU's 2x int8
+peak goes if the end-to-end numbers do not show it (the rescale's fp32
+(N, out) intermediate doubles the matmul's HBM write traffic, and
+quantizing the activations adds a full read+write sweep — at these
+arithmetic intensities the matmuls are bandwidth-bound, so halving MXU
+time does not halve wall time).
+
+Also prints the int8_static feature error vs bf16 (cosine + rel-L2) so
+a win would be adoptable.
+
+Run: timeout 1800 python benchmarks/exp_int8_vitb.py
 """
+import json
 import statistics
 import sys
 import time
@@ -16,8 +37,14 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from wild_visual_navigation_tpu.models.vit import dense_features, fold_imagenet_normalize, make_vit
+from wild_visual_navigation_tpu.models.vit import (
+    calibrate_int8_static,
+    dense_features,
+    fold_imagenet_normalize,
+    make_vit,
+)
 
 SIZE = 644
 B = 4  # config-5 camera count
@@ -27,21 +54,49 @@ def main():
     key = jax.random.PRNGKey(0)
     vit = make_vit("dinov2", "vit_base", 14, attention_impl="flash", ln_dtype=jnp.bfloat16)
     vp = fold_imagenet_normalize(vit.init(key, jnp.zeros((1, 3, SIZE, SIZE))))
+
     vit_i8 = make_vit("dinov2", "vit_base", 14, attention_impl="flash",
                       ln_dtype=jnp.bfloat16, quant="int8")
 
-    def mk(vitmod):
+    vit_st = make_vit("dinov2", "vit_base", 14, attention_impl="flash",
+                      ln_dtype=jnp.bfloat16, quant="int8_static")
+    vit_st_att = make_vit("dinov2", "vit_base", 14, attention_impl="xla_int8",
+                          ln_dtype=jnp.bfloat16, quant="int8_static")
+    # calibration: init the quant_cal collection, record abs-max over
+    # sample batches at the production shape
+    v_st = vit_st.init(key, jnp.zeros((1, 3, SIZE, SIZE)))
+    v_st = {"params": vp["params"], "quant_cal": v_st["quant_cal"]}
+    cal_batches = [jax.random.uniform(jax.random.fold_in(key, 50 + i), (B, 3, SIZE, SIZE))
+                   for i in range(3)]
+    v_st = calibrate_int8_static(vit_st, v_st, cal_batches)
+
+    def mk(vitmod, params):
         @jax.jit
         def f(p, imgs):
             feat = dense_features(vitmod, p, imgs)
             return feat[:, 0, 0, 0]
-        return f
+        return lambda imgs: f(params, imgs)
 
-    pipes = {"bf16": mk(vit), "int8": mk(vit_i8)}
+    pipes = {
+        "bf16": mk(vit, vp),
+        "int8": mk(vit_i8, vp),
+        "int8_static": mk(vit_st, v_st),
+        "int8_static+att": mk(vit_st_att, v_st),
+    }
     gen = jax.jit(lambda: jax.random.uniform(key, (B, 3, SIZE, SIZE)))
     base = gen()
     for f in pipes.values():
-        float(jnp.asarray(f(vp, base)).ravel()[0])
+        float(jnp.asarray(f(base)).ravel()[0])
+
+    # feature-error check (int8_static vs bf16, full maps)
+    fb = dense_features(vit, vp, base)
+    fs = dense_features(vit_st, v_st, base)
+    fb, fs = np.asarray(fb, np.float32), np.asarray(fs, np.float32)
+    cos = float(np.sum(fb * fs) / (np.linalg.norm(fb) * np.linalg.norm(fs)))
+    rel = float(np.linalg.norm(fb - fs) / np.linalg.norm(fb))
+    fa = np.asarray(dense_features(vit_st_att, v_st, base), np.float32)
+    cos_a = float(np.sum(fb * fa) / (np.linalg.norm(fb) * np.linalg.norm(fa)))
+    rel_a = float(np.linalg.norm(fb - fa) / np.linalg.norm(fb))
 
     ITERS = 10
     res = {k: [] for k in pipes}
@@ -50,14 +105,78 @@ def main():
             carry = jnp.zeros(())
             t0 = time.time()
             for i in range(ITERS):
-                out = f(vp, base + carry * 1e-12 + i * 1e-9)
+                out = f(base + carry * 1e-12 + i * 1e-9)
                 carry = out[0]
             float(carry)
             dt = time.time() - t0
             if rnd:
                 res[name].append(ITERS * B / dt)
-    for k, v in res.items():
-        print(f"{k}: {statistics.median(v):7.1f} img/s  rounds={[round(x,1) for x in v]}")
+
+    # ---- pure-matmul decomposition at the exact layer shapes ----
+    from wild_visual_navigation_tpu.models.quant import int8_dense_static, quantize_symmetric
+
+    N = B * 2117  # rows per multi-camera tick
+    shapes = {"qkv_768x2304": (768, 2304), "fc1_768x3072": (768, 3072),
+              "fc2_3072x768": (3072, 768)}
+    mm = {}
+    for tag, (din, dout) in shapes.items():
+        x = jax.random.normal(jax.random.fold_in(key, 60), (N, din), jnp.bfloat16)
+        w = jax.random.normal(jax.random.fold_in(key, 61), (din, dout), jnp.float32)
+        bias = jnp.zeros((dout,), jnp.float32)
+
+        @jax.jit
+        def mm_bf16(x, w):
+            return (x @ w.astype(jnp.bfloat16))[0, 0]
+
+        @jax.jit
+        def mm_i8_static(x, w):
+            return int8_dense_static(x, w, bias, jnp.float32(4.0 / 127.0))[0, 0]
+
+        @jax.jit
+        def mm_i8_raw(xq, wq):
+            # the MXU op alone: pre-quantized ints, no rescale read-back
+            acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            return acc[0, 0]
+
+        xq, _ = quantize_symmetric(x)
+        wq, _ = quantize_symmetric(w, axis=0)
+        # carry chaining: each variant folds the RAW previous result
+        # into the next input (data dependence -> no relay memoization,
+        # true fence at the end); int inputs fold carry mod a small
+        # range so values stay in int8
+        variants = {
+            "bf16": lambda c, i: mm_bf16(x + c * 1e-14 + i * 1e-9, w),
+            "i8_static_full": lambda c, i: mm_i8_static(x + c * 1e-14 + i * 1e-9, w),
+            "i8_mxu_only": lambda c, i: mm_i8_raw(
+                jnp.clip(xq.astype(jnp.int32) + jnp.int32(abs(c)) % 5 + i % 3 - 2,
+                         -127, 127).astype(jnp.int8), wq),
+        }
+        for vname, call in variants.items():
+            float(jnp.asarray(call(0.0, 0)).ravel()[0])
+        rates = {v: [] for v in variants}
+        M = 20
+        for rnd in range(3):
+            for vname, call in variants.items():
+                c = 0.0
+                t0 = time.time()
+                for i in range(M):
+                    c = float(call(c, i))
+                dt = time.time() - t0
+                if rnd:
+                    flops = 2 * N * din * dout * M
+                    rates[vname].append(flops / dt / 1e12)
+        mm[tag] = {v: round(statistics.median(r), 2) for v, r in rates.items()}
+
+    out = {
+        "shape": f"{B}x3x{SIZE}x{SIZE} dinov2 vit_base S=2117",
+        "img_per_sec": {k: round(statistics.median(v), 1) for k, v in res.items()},
+        "rounds": {k: [round(x, 1) for x in v] for k, v in res.items()},
+        "int8_static_feature_err": {"cosine": round(cos, 5), "rel_l2": round(rel, 4)},
+        "int8_static_att_feature_err": {"cosine": round(cos_a, 5), "rel_l2": round(rel_a, 4)},
+        "matmul_tflops": mm,
+    }
+    print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":

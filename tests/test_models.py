@@ -290,3 +290,52 @@ def test_supports_optimized_rejects_depth1_head():
         "simple_mlp_cfg": {"input_size": 8, "hidden_sizes": [16, 1], "reconstruction": True},
     })
     assert supports_optimized(deep)
+
+
+def test_int8_static_backbone_tolerance():
+    """quant="int8_static" (VERDICT r4 #5): calibrated per-tensor
+    activation scales must stay within the same tolerance band as the
+    dynamic scheme on in-calibration data — and the calibration pass
+    itself must leave params untouched (checkpoints load as-is)."""
+    from wild_visual_navigation_tpu.models.vit import calibrate_int8_static, make_vit
+
+    H = 224
+    vit32 = make_vit("dinov2", "vit_small", 14, attention_impl="xla", dtype=jnp.float32)
+    vit_st = make_vit("dinov2", "vit_small", 14, attention_impl="xla", dtype=jnp.float32,
+                      quant="int8_static")
+    p = vit32.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, H, H)))
+    p = jax.tree_util.tree_map_with_path(
+        lambda path, l: jnp.ones_like(l)
+        if any("ls" in str(getattr(k, "key", "")) for k in path) else l, p)
+    v = vit_st.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, H, H)))
+    assert jax.tree_util.tree_structure(v["params"]) == jax.tree_util.tree_structure(p["params"])
+    v = {"params": p["params"], "quant_cal": v["quant_cal"]}
+    cal = [jax.random.uniform(jax.random.PRNGKey(10 + i), (2, 3, H, H)) for i in range(2)]
+    v = calibrate_int8_static(vit_st, v, cal)
+    # calibration recorded nonzero abs-max on every StaticQuantDense
+    amaxes = jax.tree_util.tree_leaves(v["quant_cal"])
+    assert len(amaxes) == 12 * 4  # qkv/proj/fc1/fc2 per block
+    assert all(float(a) > 0 for a in amaxes)
+
+    img = jax.random.uniform(jax.random.PRNGKey(3), (2, 3, H, H))
+    f32 = vit32.apply(p, img)["patch_tokens"]
+    f_st = vit_st.apply(v, img)["patch_tokens"]
+    rel = float(jnp.mean(jnp.abs(f_st - f32)) / jnp.std(f32))
+    cos = jnp.sum(f_st * f32, -1) / (jnp.linalg.norm(f_st, axis=-1) * jnp.linalg.norm(f32, axis=-1))
+    assert rel < 0.06, f"int8_static feature error too large: {rel:.4f}"
+    assert float(cos.min()) > 0.99, f"int8_static cosine regressed: {float(cos.min()):.5f}"
+
+
+def test_int8_attention_scores_tolerance():
+    """attention_impl="xla_int8" (both attention matmuls on the int8
+    MXU path, quant.py::attention_scores_int8) vs fp32 attention."""
+    from wild_visual_navigation_tpu.models.quant import attention_scores_int8
+    from wild_visual_navigation_tpu.ops.flash_attention import xla_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 257, 64), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 257, 64), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 257, 64), jnp.float32)
+    ref = xla_attention(q, k, v, sm_scale=64**-0.5)
+    got = attention_scores_int8(q, k, v, sm_scale=64**-0.5)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.05, f"int8 attention error too large: {rel:.4f}"

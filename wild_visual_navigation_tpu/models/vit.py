@@ -81,9 +81,38 @@ class QuantDense(nn.Module):
         return int8_dense(x, kernel, bias).astype(self.dtype)
 
 
+class StaticQuantDense(nn.Module):
+    """QuantDense with CALIBRATED per-tensor activation scales
+    (VERDICT r4 #5): the per-layer activation abs-max lives in the
+    "quant_cal" variable collection. When that collection is mutable
+    (a calibration pass — see calibrate_int8_static) the module records
+    the running abs-max and computes with the exact dynamic path; at
+    inference the recorded scale is a traced CONSTANT, deleting the
+    per-call activation reduction the dynamic scheme pays. Param
+    names/shapes unchanged — fp checkpoints load as-is."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from .quant import int8_dense, int8_dense_static
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        amax = self.variable("quant_cal", "amax", lambda: jnp.zeros((), jnp.float32))
+        if self.is_mutable_collection("quant_cal"):
+            amax.value = jnp.maximum(amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+            return int8_dense(x, kernel, bias).astype(self.dtype)
+        scale = jnp.maximum(amax.value / 127.0, 1e-12)
+        return int8_dense_static(x, kernel, bias, scale).astype(self.dtype)
+
+
 def _dense(quant, features, dtype, name):
     if quant == "int8":
         return QuantDense(features, dtype=dtype, name=name)
+    if quant == "int8_static":
+        return StaticQuantDense(features, dtype=dtype, name=name)
     return nn.Dense(features, dtype=dtype, name=name)
 
 
@@ -133,6 +162,12 @@ class Attention(nn.Module):
             out = flash_attention(q, k, v, sm_scale=scale, **kw)
         elif impl == "xla_bf16":
             out = xla_attention_bf16(q, k, v, sm_scale=scale)
+        elif impl == "xla_int8":
+            # both attention matmuls on the int8 MXU path (quant.py) —
+            # the VERDICT r4 #5 experiment surface; softmax stays fp32
+            from .quant import attention_scores_int8
+
+            out = attention_scores_int8(q, k, v, sm_scale=scale)
         else:
             out = xla_attention(q, k, v, sm_scale=scale)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
@@ -239,6 +274,8 @@ class VisionTransformer(nn.Module):
     # path (models/quant.py) — opt-in, 2x MXU rate on v5e; patch embed
     # and LayerNorms stay fp. Param pytree unchanged (checkpoints load
     # as-is; weights quantize on the fly in-graph).
+    # quant="int8_static": same, with CALIBRATED per-tensor activation
+    # scales (calibrate_int8_static) instead of per-call reductions.
     quant: Optional[str] = None
 
     @nn.compact
@@ -314,6 +351,26 @@ def fold_imagenet_normalize(params) -> dict:
     new_params = dict(params["params"])
     new_params["patch_embed"] = {"kernel": new_kernel, "bias": new_bias}
     return {**params, "params": new_params}
+
+
+def calibrate_int8_static(vit: VisionTransformer, variables, sample_batches) -> dict:
+    """Record per-layer activation abs-max for quant="int8_static".
+
+    variables: the dict vit.init returned (carries an all-zero
+    "quant_cal" collection). Runs each (B, 3, H, W) batch with the
+    collection mutable — StaticQuantDense layers take the running max —
+    and returns variables with the calibrated scales baked in. Jitted
+    per batch; calibration cost is a handful of forward passes."""
+    import jax as _jax
+
+    @_jax.jit
+    def one(v, imgs):
+        _, upd = vit.apply(v, imgs, mutable=["quant_cal"])
+        return {**v, "quant_cal": upd["quant_cal"]}
+
+    for imgs in sample_batches:
+        variables = one(variables, imgs)
+    return variables
 
 
 def dense_features(vit: VisionTransformer, params, img: jnp.ndarray) -> jnp.ndarray:
