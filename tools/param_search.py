@@ -182,38 +182,59 @@ def make_synth(n_nodes: int = 64, n_seg: int = 8, dim: int = 32, seed: int = 0):
     return sub(slice(0, n_nodes)), sub(slice(n_nodes, total))
 
 
+def load_real_folds(seed: int, k: int = 1):
+    """The reference's real mission graph as (train, val) dataset pairs.
+
+    k == 1: one stratified 70/30 split (the r4 behavior). k > 1:
+    stratified k-fold over the segments (VERDICT r4 #4 — the single
+    ~30-row val split cannot rank trials; per-trial val AUROC is then
+    reported as mean +/- std over folds). Train side: y_valid marks the
+    footprint-labeled segments (the rest participate through the
+    confidence weighting, as online); val side: ref.y is defined for
+    EVERY segment, so the metric scores the full fold."""
+    from wild_visual_navigation_tpu.offline import reference_graph as rg
+    from wild_visual_navigation_tpu.offline.dataset import GraphTravDataset
+
+    if not rg.available():
+        raise SystemExit("--data real: reference graph assets not found")
+    ref = rg.load_reference_graph()
+    y, yv = ref.y, ref.y_valid
+    S, _D = ref.x.shape
+
+    def sub(sel, full_labels: bool):
+        return GraphTravDataset(
+            features=ref.x[sel][:, None, :],
+            signal=y[sel][:, None].astype(np.float32),
+            signal_valid=(np.ones((len(sel), 1), bool) if full_labels
+                          else yv[sel][:, None]),
+            sample_valid=np.ones((len(sel), 1), bool),
+        )
+
+    rng = np.random.RandomState(seed)
+    if k <= 1:
+        split = int(S * 0.7)
+        idx = rng.permutation(S)
+        return [(sub(idx[:split], False), sub(idx[split:], True))]
+    # stratified folds: positives spread round-robin
+    pos = rng.permutation(np.flatnonzero(yv))
+    neg = rng.permutation(np.flatnonzero(~yv))
+    all_idx = np.arange(S)
+    folds = []
+    for f in range(k):
+        va = np.sort(np.concatenate([pos[f::k], neg[f::k]]))
+        tr = np.sort(np.setdiff1d(all_idx, va))
+        folds.append((sub(tr, False), sub(va, True)))
+    return folds
+
+
 def load_data(spec: str, seed: int):
     from wild_visual_navigation_tpu.offline.dataset import GraphTravDataset
 
     if spec == "synth":
         return make_synth(seed=seed)
     if spec == "real":
-        from wild_visual_navigation_tpu.offline import reference_graph as rg
-
-        if not rg.available():
-            raise SystemExit("--data real: reference graph assets not found")
-        ref = rg.load_reference_graph()
-        y, yv = ref.y, ref.y_valid
-        S, D = ref.x.shape
-        split = int(S * 0.7)
-        idx = np.random.RandomState(seed).permutation(S)
-        tr, va = idx[:split], idx[split:]
-
-        def sub(sel, full_labels: bool):
-            # train: y_valid marks the footprint-labeled segments (the
-            # rest participate through the confidence weighting, as
-            # online); val: ref.y is defined for EVERY segment, so the
-            # metric scores the full split — the same full-graph
-            # evaluation as tools/real_data_eval.py
-            return GraphTravDataset(
-                features=ref.x[sel][:, None, :],
-                signal=y[sel][:, None].astype(np.float32),
-                signal_valid=(np.ones((len(sel), 1), bool) if full_labels
-                              else yv[sel][:, None]),
-                sample_valid=np.ones((len(sel), 1), bool),
-            )
-
-        return sub(tr, False), sub(va, True)
+        folds = load_real_folds(seed, k=1)
+        return folds[0]
     if spec.startswith("export:"):
         folder = spec.split(":", 1)[1]
         return (GraphTravDataset.from_folder(folder, "train", shuffle_seed=seed),
@@ -230,10 +251,16 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--anomaly_balanced", type=str, default="both",
                     choices=["both", "true", "false"])
+    ap.add_argument("--kfold", type=int, default=5,
+                    help="(--data real) stratified k-fold CV: per-trial val AUROC "
+                         "reported mean +/- std over folds (1 = single 70/30 split)")
     ap.add_argument("--out", type=str, default="results/search")
     args = ap.parse_args()
 
-    train, val = load_data(args.data, args.seed)
+    if args.data == "real" and args.kfold > 1:
+        folds = load_real_folds(args.seed, k=args.kfold)
+    else:
+        folds = [load_data(args.data, args.seed)]
     variants = {"both": [True, False], "true": [True], "false": [False]}[args.anomaly_balanced]
     per_pop = max(2, args.trials // len(variants))
 
@@ -247,18 +274,30 @@ def main() -> int:
         # that actually matches the production anomaly_balanced setting
         pin = ab == production_ab or len(variants) == 1
         lr, wt, wr = sample_space(per_pop, args.seed + int(ab), pin_default=pin)
-        scores, losses, _ = population_fit(
-            train, val, lr, wt, wr, epochs=args.epochs,
-            batch_size=args.batch_size, seed=args.seed, anomaly_balanced=ab,
-        )
-        metrics = evaluate_population(scores, val)
-        for i, m in enumerate(metrics):
+        # the whole population trains once PER FOLD (the vmap axis keeps
+        # this cheap); per-trial metrics aggregate over folds
+        per_fold_metrics, losses = [], None
+        for train, val in folds:
+            scores, losses, _ = population_fit(
+                train, val, lr, wt, wr, epochs=args.epochs,
+                batch_size=args.batch_size, seed=args.seed, anomaly_balanced=ab,
+            )
+            per_fold_metrics.append(evaluate_population(scores, val))
+        for i in range(per_pop):
+            aurocs = [fm[i]["val_auroc"] for fm in per_fold_metrics
+                      if fm[i]["val_auroc"] == fm[i]["val_auroc"]]
+            accs = [fm[i]["val_acc"] for fm in per_fold_metrics
+                    if fm[i]["val_acc"] == fm[i]["val_acc"]]
             rows.append({
                 "trial": len(rows), "anomaly_balanced": ab,
                 "lr": round(float(lr[i]), 6), "w_trav": round(float(wt[i]), 4),
                 "w_reco": round(float(wr[i]), 4),
                 "train_loss": float(f"{float(losses[i]):.3g}"),
-                "is_default": i == 0 and pin and ab == production_ab, **m,
+                "is_default": i == 0 and pin and ab == production_ab,
+                "val_auroc": round(float(np.mean(aurocs)), 4) if aurocs else float("nan"),
+                "val_auroc_std": round(float(np.std(aurocs)), 4) if aurocs else float("nan"),
+                "val_acc": round(float(np.mean(accs)), 4) if accs else float("nan"),
+                "folds_valid": f"{len(aurocs)}/{len(folds)}",
             })
     wall = time.time() - t0
 
@@ -286,13 +325,13 @@ def main() -> int:
         f"data={args.data}, {len(rows)} trials x {args.epochs} epochs in {wall:.1f}s "
         f"(all trials trained simultaneously via vmap — see tools/param_search.py).",
         "",
-        "| rank | lr | w_trav | w_reco | anomaly_bal | val AUROC | val acc | default |",
-        "|---|---|---|---|---|---|---|---|",
+        "| rank | lr | w_trav | w_reco | anomaly_bal | val AUROC | +/- std | val acc | default |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for rank, r in enumerate(rows_ranked[:10], 1):
         md.append(f"| {rank} | {r['lr']:.5f} | {r['w_trav']:.3f} | {r['w_reco']:.3f} "
-                  f"| {r['anomaly_balanced']} | {r['val_auroc']} | {r['val_acc']} "
-                  f"| {'*' if r['is_default'] else ''} |")
+                  f"| {r['anomaly_balanced']} | {r['val_auroc']} | {r.get('val_auroc_std', '—')} "
+                  f"| {r['val_acc']} | {'*' if r['is_default'] else ''} |")
     md.append("")
     if default is not None:
         md.append(f"default config: AUROC {default['val_auroc']} (rank "

@@ -65,6 +65,16 @@ class GraphTravDataset:
             sample_valid=feat_valid[sl],
         )
 
+    def subset(self, idx: np.ndarray) -> "GraphTravDataset":
+        """Node-index subset — the k-fold CV building block
+        (tools/ablation_sweep.py --kfold)."""
+        return GraphTravDataset(
+            features=self.features[idx],
+            signal=self.signal[idx],
+            signal_valid=self.signal_valid[idx],
+            sample_valid=self.sample_valid[idx],
+        )
+
     def shuffled_labels(self, seed: int = 0) -> "GraphTravDataset":
         """Label-shuffle control: permute (signal, signal_valid) jointly
         across all (node, segment) positions, breaking the
