@@ -175,9 +175,20 @@ def main():
         return pipeline
 
     pipeline_patchres = make_pipeline_patchres(vit)
-    # int8 backbone variant (W8A8 dynamic, models/quant.py; same params)
+    # int8 backbone variant (W8A8 with CALIBRATED static activation
+    # scales — the stronger scheme, r5; models/quant.py). Calibration:
+    # record per-layer abs-max over 2 sample batches at this shape.
+    from wild_visual_navigation_tpu.models.vit import calibrate_int8_static
+
     vit_int8 = make_vit("dinov2", "vit_small", 14, attention_impl="flash",
-                        ln_dtype=jnp.bfloat16, quant="int8")
+                        ln_dtype=jnp.bfloat16, quant="int8_static")
+    _v0 = vit_int8.init(jax.random.PRNGKey(2), jnp.zeros((1, 3, SIZE, SIZE)))
+    vit_params_int8 = calibrate_int8_static(
+        vit_int8,
+        {"params": vit_params["params"], "quant_cal": _v0["quant_cal"]},
+        [jax.random.uniform(jax.random.fold_in(key, 40 + i), (2, 3, SIZE, SIZE))
+         for i in range(2)],
+    )
     pipeline_patchres_int8 = make_pipeline_patchres(vit_int8)
 
     gen_px = jax.jit(lambda: jax.random.uniform(jax.random.fold_in(key, 7), (PX_SCAN, PX_BATCH, 3, SIZE, SIZE)))
@@ -187,7 +198,7 @@ def main():
                                   PX_SCAN * PX_BATCH, PX_ITERS)
     pr_rate, pr_rounds = _measure(pipeline_patchres, (vit_params, mlp_params), gen_pr,
                                   PR_SCAN * PR_BATCH, PR_ITERS)
-    q_rate, q_rounds = _measure(pipeline_patchres_int8, (vit_params, mlp_params), gen_pr,
+    q_rate, q_rounds = _measure(pipeline_patchres_int8, (vit_params_int8, mlp_params), gen_pr,
                                 PR_SCAN * PR_BATCH, PR_ITERS)
 
     result = {
@@ -216,11 +227,13 @@ def main():
             "work": "per-patch-token scoring (1024 rows/frame; the r1/r2 ladder metric: 401 -> 689)",
         },
         "patchres_int8_backbone": {
-            "metric": "dinov2_vits14_448px_patchres_int8_throughput",
+            "metric": "dinov2_vits14_448px_patchres_int8_static_throughput",
             "value": round(q_rate, 2),
             "vs_baseline": round(q_rate / BASELINE_IMAGES_PER_SEC, 2),
             "rounds": [round(x, 1) for x in q_rounds],
-            "work": "opt-in W8A8 backbone (models/quant.py, ~1.5% feature err, tolerance-pinned)",
+            "work": "opt-in W8A8 backbone, calibrated static activation scales "
+                    "(models/quant.py, ~2.8% feature err, tolerance-pinned; "
+                    "economics: benchmarks/exp_int8_vitb.py)",
         },
     }
     print(json.dumps(result))

@@ -88,13 +88,21 @@ def main():
     for f in pipes.values():
         float(jnp.asarray(f(base)).ravel()[0])
 
-    # feature-error check (int8_static vs bf16, full maps)
-    fb = dense_features(vit, vp, base)
-    fs = dense_features(vit_st, v_st, base)
-    fb, fs = np.asarray(fb, np.float32), np.asarray(fs, np.float32)
+    # feature-error check (int8_static vs bf16, full maps). Random-init
+    # DINOv2 layerscale is 1e-5 — blocks are near-identity and quant
+    # error vanishes — so gammas are set to 1.0 (trained magnitude) for
+    # the ERROR measurement only, exactly as tests/test_models.py does.
+    ls1 = jax.tree_util.tree_map_with_path(
+        lambda path, l: jnp.ones_like(l)
+        if any("ls" in str(getattr(k, "key", "")) for k in path) else l, vp)
+    v_st1 = calibrate_int8_static(
+        vit_st, {"params": ls1["params"], "quant_cal": v_st["quant_cal"]}, cal_batches)
+    fb = dense_features(vit, ls1, base)
+    fs = dense_features(vit_st, v_st1, base)
+    fb, fs = np.asarray(fb, np.float64), np.asarray(fs, np.float64)
     cos = float(np.sum(fb * fs) / (np.linalg.norm(fb) * np.linalg.norm(fs)))
     rel = float(np.linalg.norm(fb - fs) / np.linalg.norm(fb))
-    fa = np.asarray(dense_features(vit_st_att, v_st, base), np.float32)
+    fa = np.asarray(dense_features(vit_st_att, v_st1, base), np.float64)
     cos_a = float(np.sum(fb * fa) / (np.linalg.norm(fb) * np.linalg.norm(fa)))
     rel_a = float(np.linalg.norm(fb - fa) / np.linalg.norm(fb))
 
@@ -123,48 +131,79 @@ def main():
         x = jax.random.normal(jax.random.fold_in(key, 60), (N, din), jnp.bfloat16)
         w = jax.random.normal(jax.random.fold_in(key, 61), (din, dout), jnp.float32)
         bias = jnp.zeros((dout,), jnp.float32)
-
-        @jax.jit
-        def mm_bf16(x, w):
-            return (x @ w.astype(jnp.bfloat16))[0, 0]
-
-        @jax.jit
-        def mm_i8_static(x, w):
-            return int8_dense_static(x, w, bias, jnp.float32(4.0 / 127.0))[0, 0]
-
-        @jax.jit
-        def mm_i8_raw(xq, wq):
-            # the MXU op alone: pre-quantized ints, no rescale read-back
-            acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.int32)
-            return acc[0, 0]
-
         xq, _ = quantize_symmetric(x)
         wq, _ = quantize_symmetric(w, axis=0)
-        # carry chaining: each variant folds the RAW previous result
-        # into the next input (data dependence -> no relay memoization,
-        # true fence at the end); int inputs fold carry mod a small
-        # range so values stay in int8
+
+        # Each variant chains M matmuls INSIDE one jitted scan (carry
+        # perturbs the next input -> data dependence, no memoization, no
+        # per-iteration relay round trip — a per-call fence would
+        # measure the ~30 ms relay RTT, not the sub-ms matmul), chains
+        # OUTER calls through the device-resident carry, and the single
+        # scalar download at the end is the true fence (RTT amortized
+        # over OUTER*M matmuls, <5%).
+        M = 200
+        OUTER = 3
+
+        def _poke(arr, c):
+            # fold the carry into ONE element (dynamic_update_slice):
+            # a full `x + c` elementwise pass would cost ~40% of the
+            # matmul's own time at these shapes and muddy the comparison
+            return jax.lax.dynamic_update_slice(
+                arr, jnp.asarray(c).astype(arr.dtype).reshape(1, 1), (0, 0))
+
+        # the carry is the FULL-result sum: a single-element readout
+        # would let XLA narrow each dot to one row x column (the DCE
+        # trap the r4 bench fix documented — first cut here read 795
+        # "TFLOP/s", 4x the v5e peak). The sum's extra (N, out) read is
+        # identical across variants.
+        @jax.jit
+        def mm_bf16(x, w, c0):
+            def body(c, _):
+                y = _poke(x, c * 1e-6) @ w.astype(jnp.bfloat16)
+                return jnp.sum(y.astype(jnp.float32)) * 1e-6, None
+            c, _ = jax.lax.scan(body, c0, None, length=M)
+            return c
+
+        @jax.jit
+        def mm_i8_static(x, w, c0):
+            def body(c, _):
+                y = int8_dense_static(_poke(x, c * 1e-6), w, bias, jnp.float32(4.0 / 127.0))
+                return jnp.sum(y) * 1e-6, None
+            c, _ = jax.lax.scan(body, c0, None, length=M)
+            return c
+
+        @jax.jit
+        def mm_i8_raw(xq, wq, c0):
+            # the MXU op alone: int8 inputs, int32 accumulate, no
+            # quantize/rescale passes
+            def body(c, _):
+                acc = jax.lax.dot_general(_poke(xq, c % 3), wq, (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.int32)
+                return jnp.sum(acc, dtype=jnp.int32) % 1000, None
+            c, _ = jax.lax.scan(body, c0, None, length=M)
+            return c
+
+        def chained(fn, a, b, c0):
+            c = c0
+            for _ in range(OUTER):
+                c = fn(a, b, c)  # device carry: dispatches queue, no fence
+            return float(c)  # the one true fence
+
         variants = {
-            "bf16": lambda c, i: mm_bf16(x + c * 1e-14 + i * 1e-9, w),
-            "i8_static_full": lambda c, i: mm_i8_static(x + c * 1e-14 + i * 1e-9, w),
-            "i8_mxu_only": lambda c, i: mm_i8_raw(
-                jnp.clip(xq.astype(jnp.int32) + jnp.int32(abs(c)) % 5 + i % 3 - 2,
-                         -127, 127).astype(jnp.int8), wq),
+            "bf16": lambda r: chained(mm_bf16, x, w, jnp.float32(r)),
+            "i8_static_full": lambda r: chained(mm_i8_static, x, w, jnp.float32(r)),
+            "i8_mxu_only": lambda r: chained(mm_i8_raw, xq, wq, jnp.int32(r)),
         }
         for vname, call in variants.items():
-            float(jnp.asarray(call(0.0, 0)).ravel()[0])
+            call(0)  # compile + complete
         rates = {v: [] for v in variants}
-        M = 20
         for rnd in range(3):
             for vname, call in variants.items():
-                c = 0.0
                 t0 = time.time()
-                for i in range(M):
-                    c = float(call(c, i))
+                call(rnd)  # distinct carry seed -> distinct dispatch
                 dt = time.time() - t0
                 if rnd:
-                    flops = 2 * N * din * dout * M
+                    flops = 2 * N * din * dout * M * OUTER
                     rates[vname].append(flops / dt / 1e12)
         mm[tag] = {v: round(statistics.median(r), 2) for v, r in rates.items()}
 
