@@ -139,12 +139,15 @@ def check_graph_semantics(est, radius: float) -> dict:
     want_t = sorted(nd for nd in nodes if t_lo <= nd.timestamp <= t_hi)
     ok_timespan = [id(x) for x in got_t] == [id(x) for x in want_t]
 
+    # save_graph resolves pending supervision first (estimator.py:795),
+    # which flips more slot holders valid — resolve here too so the
+    # slot-holder count is pinned against the same post-resolve state
+    # the export writes from
+    est._resolve_pending_supervision()
     slot_holders = [nd for nd in g.get_valid_nodes() if nd.buffer_slot >= 0]
     with tempfile.TemporaryDirectory() as td:
         est.save_graph(td)
         files = sorted(os.listdir(td))
-        # valid slot holders may change between the two calls only if
-        # the mission is still running; the soak calls this after the loop
         ok_export = len(files) == len(slot_holders) and len(files) > 0
         if files:
             rec = np.load(os.path.join(td, files[0]))
