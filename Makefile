@@ -26,7 +26,7 @@ soak:
 # >= 1 h wall (results/soak_config5.json).
 soak-config5:
 	timeout 7200 python tools/soak.py --product --cameras 4 --size 644 \
-		--backbone vit_base --pixelwise --frames 160000 --window 2000 \
+		--backbone vit_base --pixelwise --frames 240000 --window 2000 \
 		--out results/soak_config5.json
 
 dryrun:

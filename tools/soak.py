@@ -63,7 +63,7 @@ version runs in tests/test_runtime.py::test_soak_smoke.
 Usage:
   timeout 3600 python tools/soak.py                 # 10k frames @448, 2 cams
   timeout 7200 python tools/soak.py --product --cameras 4 --size 644 \
-      --backbone vit_base --pixelwise --frames 160000 \
+      --backbone vit_base --pixelwise --frames 240000 \
       --out results/soak_config5.json               # config-5 endurance
   python tools/soak.py --frames 400 --size 64       # smoke
 """
