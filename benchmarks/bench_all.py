@@ -48,6 +48,14 @@ SECTIONS = [
         [sys.executable, "benchmarks/bench_multicam.py", "--product", "--pixelwise"],
         900,
     ),
+    (
+        # the opt-in statically-calibrated int8 backbone at the same
+        # product shape (VERDICT r4 #5: the winning mode belongs in the
+        # primary artifact, not a side experiment)
+        "config5_product_patchres_int8",
+        [sys.executable, "benchmarks/bench_multicam.py", "--product", "--quant", "int8_static"],
+        900,
+    ),
     ("feature_modes", [sys.executable, "benchmarks/bench_feature_modes.py"], 1200),
 ]
 

@@ -66,6 +66,7 @@ def product_main(args):
         network_input_image_height=size, network_input_image_width=size,
         segmentation_type="grid", feature_type="dinov2",
         dino_backbone=args.backbone_type, dino_patch_size=14,
+        dino_quant=args.quant,
         grid_cell_size=size // 10, prediction_per_pixel=True,
         image_callback_rate=1e6, camera_topics=cam_topics,
     )
@@ -93,6 +94,10 @@ def product_main(args):
     K = np.tile(np.array([[400.0, 0, size / 2], [0, 400.0, size / 2], [0, 0, 1]], np.float64), (B, 1, 1))
     down = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
     jax.block_until_ready(frames)
+    if args.quant == "int8_static":
+        # static scales calibrate on the bench's own frame pool — the
+        # deployed analogue is a few seconds of mission frames
+        assert rt.calibrate_backbone(frames[:2]), "backbone not statically quantized"
 
     def poses_at(step: float):
         pb = np.tile(np.eye(4), (B, 1, 1))
@@ -171,7 +176,9 @@ def product_main(args):
 
     result = {
         "config": f"PRODUCT_{args.cameras}cam_dinov2_{args.backbone_type}_{size}px_full_runtime"
-        + ("_pixelwise" if args.pixelwise else ""),
+        + ("_pixelwise" if args.pixelwise else "")
+        + (f"_{args.quant}" if args.quant else ""),
+        "quant": args.quant,
         "cycle_ms": round(dt * 1e3, 2),
         "per_camera_hz": round(1.0 / dt, 2),
         "images_per_sec": round(B / dt, 2),
@@ -210,6 +217,10 @@ def main():
                     help="(--product) score with the reference's full per-pixel math "
                          "(644^2 pixels/cam through ops/pixelwise_fused.py) instead of "
                          "the TPU-native patch-res path")
+    ap.add_argument("--quant", type=str, default=None,
+                    choices=[None, "int8", "int8_static"],
+                    help="(--product) opt-in backbone quantization (cfg dino_quant); "
+                         "int8_static calibrates on the bench's own frame pool first")
     ap.add_argument("--flush_every", type=int, default=1, help="(--product) supervision micro-batching")
     ap.add_argument("--resolve_every", type=int, default=8,
                     help="(--product) train calls between blocking supervision-flag readbacks")

@@ -182,6 +182,49 @@ def test_facade_segmentation_modes(seg_type):
     assert ex.edges.shape[0] == 2
 
 
+def test_facade_dino_int8_static_calibrated():
+    """quant="int8_static" as a facade option (cfg dino_quant): one
+    calibrate() pass records the static activation scales, after which
+    dense features track the bf16 twin (same weights) closely. The
+    bf16 facade's calibrate() is a no-op returning False."""
+    fe8 = FeatureExtractor(
+        key=jax.random.PRNGKey(0),
+        segmentation_type="grid",
+        feature_type="dino",
+        input_size=32,
+        cell_size=16,
+        attention_impl="xla",
+        quant="int8_static",
+    )
+    # trained-magnitude layerscale (as in test_models.py — tiny-init
+    # layerscale amplifies relative quant error far beyond deployment)
+    fe8._extractor.params = jax.tree_util.tree_map_with_path(
+        lambda path, l: jnp.ones_like(l)
+        if any("ls" in str(getattr(k, "key", "")) for k in path) else l,
+        fe8._extractor.params)
+    # identical weights for the bf16 twin (strip the calibration
+    # collection — plain Dense modules don't declare it)
+    fe = FeatureExtractor(
+        key=jax.random.PRNGKey(0),
+        segmentation_type="grid",
+        feature_type="dino",
+        input_size=32,
+        cell_size=16,
+        attention_impl="xla",
+        backbone_params={"params": fe8._extractor.params["params"]},
+    )
+    img = _toy_image(32, 32)
+    assert fe.calibrate([img]) is False
+    assert fe8.calibrate([img]) is True
+    f8 = np.asarray(fe8.compute_features(img)).reshape(384, -1).T
+    fb = np.asarray(fe.compute_features(img)).reshape(384, -1).T
+    cos = (f8 * fb).sum(-1) / (
+        np.linalg.norm(f8, axis=-1) * np.linalg.norm(fb, axis=-1) + 1e-9
+    )
+    assert np.isfinite(f8).all()
+    assert cos.min() > 0.97, cos.min()
+
+
 def test_facade_dino_tiny():
     # Full DINO ViT-S/8 path at a tiny input size (16 tokens on CPU).
     fe = FeatureExtractor(

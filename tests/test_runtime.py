@@ -332,6 +332,73 @@ def test_fused_anomaly_mode():
     assert st.step > 0, "anomaly training never ran"
 
 
+def test_runtime_int8_static_product_path():
+    """dino_quant="int8_static" as a product config knob (VERDICT r4
+    #5 follow-through): WVNRuntime builds the statically-quantized
+    backbone from cfg, calibrate_backbone() records the scales and
+    refreshes the fused programs' params, and the full frame +
+    learning path runs with finite in-range outputs."""
+    import jax
+    import numpy as np
+
+    from wild_visual_navigation_tpu.cfg import (
+        ExperimentParams,
+        FeatureExtractorNodeParams,
+        LearningNodeParams,
+    )
+    from wild_visual_navigation_tpu.runtime import WVNRuntime
+
+    fe = FeatureExtractorNodeParams(
+        network_input_image_height=32, network_input_image_width=32,
+        segmentation_type="grid", feature_type="dino",
+        dino_backbone="vit_small", dino_patch_size=8,
+        dino_quant="int8_static",
+        image_callback_rate=1000.0, grid_cell_size=8,
+        camera_topics={"front": {"use_for_training": True}},
+    )
+    ln = LearningNodeParams(min_samples_for_training=2,
+                            image_graph_dist_thr=0.05,
+                            supervision_callback_rate=1000.0)
+    exp = ExperimentParams()
+    exp.model.simple_mlp_cfg.hidden_sizes = [32, 1]
+    rt = WVNRuntime(fe_params=fe, ln_params=ln, exp_params=exp,
+                    key=jax.random.PRNGKey(0),
+                    buffer_capacity=8, reprojection_fanout=4)
+
+    rng = np.random.RandomState(0)
+    cal = [rng.rand(1, 3, 32, 32).astype(np.float32) for _ in range(2)]
+    assert rt.calibrate_backbone(cal) is True
+    # the refreshed params carry nonzero recorded scales
+    amaxes = jax.tree_util.tree_leaves(rt._vit_params["quant_cal"])
+    assert amaxes and all(float(a) > 0 for a in amaxes)
+
+    img = rng.rand(3, 40, 40).astype(np.float32)
+    K = np.array([[30.0, 0, 20], [0, 30, 20], [0, 0, 1]])
+    Tc = np.eye(4)
+    Tc[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]])
+    Tc[2, 3] = 2.0
+    res = rt.image_callback(img, 0.0, "front", K, 40, 40, np.eye(4), Tc)
+    assert res is not None and res.traversability.shape == (32, 32)
+    t = np.asarray(res.traversability)
+    assert np.isfinite(t).all() and t.min() >= 0 and t.max() <= 1
+
+    for i in range(1, 5):
+        T = np.eye(4)
+        T[0, 3] = i * 0.3
+        rt.image_callback(img + 0.01 * i, float(i), "front", K, 40, 40, T, Tc)
+        pT = np.eye(4)
+        pT[0, 3] = i * 0.3 + 0.5
+        rt.robot_state_callback(float(i) + 0.5, pT, np.array([1.0, 0, 0, 0, 0, 0]),
+                                np.array([1.0, 0, 0, 0, 0, 0]))
+    for _ in range(8):
+        st = rt.learning_step()
+    assert st.step > 0, "training never ran on the quantized backbone"
+
+    # a bf16 runtime's calibrate is a no-op
+    rt_bf16 = _tiny_runtime()
+    assert rt_bf16.calibrate_backbone(cal) is False
+
+
 def test_runtime_with_double_mlp():
     """DoubleMLP (separate trav/reco towers, reference simple_mlp.py:42)
     through the full online loop — same output contract as SimpleMLP,

@@ -90,6 +90,12 @@ class FeatureExtractorNodeParams:
     feature_type: str = "dino"
     dino_patch_size: int = 8
     dino_backbone: str = "vit_small"
+    # Opt-in backbone quantization (this framework; models/quant.py):
+    # None (bf16, the parity default), "int8" (dynamic W8A8), or
+    # "int8_static" (calibrated static activation scales — requires one
+    # WVNRuntime.calibrate_backbone / FeatureExtractor.calibrate pass
+    # over representative frames before inference).
+    dino_quant: Any = None
     slic_num_components: int = 100
     grid_cell_size: int = 32  # grid-segmentation cell edge (this framework)
 

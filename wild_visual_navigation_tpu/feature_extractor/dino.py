@@ -58,6 +58,7 @@ class DinoInterface:
         self._backbone = backbone
         self._backbone_type = backbone_type
         self._patch_size = patch_size
+        self._quant = quant
         self.vit: VisionTransformer = make_vit(
             backbone, backbone_type, patch_size, attention_impl=attention_impl, dtype=dtype, quant=quant
         )
@@ -65,6 +66,12 @@ class DinoInterface:
             if key is None:
                 key = jax.random.PRNGKey(0)
             params = self.vit.init(key, jnp.zeros((1, 3, input_size, input_size)))
+        elif quant == "int8_static" and "quant_cal" not in params:
+            # converted fp checkpoints carry no calibration collection —
+            # seed the zero scales so apply() finds the variables; a
+            # calibrate() pass is still required before inference
+            seeded = self.vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, input_size, input_size)))
+            params = {**params, "quant_cal": seeded["quant_cal"]}
         self.params = params
 
         @partial(jax.jit, static_argnames=("out_h", "out_w"))
@@ -109,6 +116,33 @@ class DinoInterface:
     @property
     def vit_patch_size(self) -> int:
         return self._patch_size
+
+    def calibrate(self, sample_batches) -> bool:
+        """Record static int8 activation scales from sample frames.
+
+        sample_batches: iterable of (B, 3, H, W) RGB-in-[0,1] batches.
+        Each is preprocessed exactly like inference (resize/crop when
+        not at network size, ImageNet normalization) before the
+        calibration forward (models/vit.py::calibrate_int8_static), so
+        the recorded per-layer abs-max matches what the deployed
+        program sees. Replaces self.params in place (value-only: the
+        scales are traced operands, so already-compiled programs keep
+        their cache). Returns True when a calibration ran; False for
+        non-static quant modes."""
+        if self._quant != "int8_static":
+            return False
+        from ..models.vit import calibrate_int8_static
+
+        prepped = []
+        for img in sample_batches:
+            img = jnp.asarray(img)
+            H, W = img.shape[2], img.shape[3]
+            ps = self._patch_size
+            if not (min(H, W) == self._input_size and H % ps == 0 and W % ps == 0):
+                img = center_crop(resize_smaller_edge_nearest(img, self._input_size), self._input_size)
+            prepped.append(imagenet_normalize(img))
+        self.params = calibrate_int8_static(self.vit, self.params, prepped)
+        return True
 
     def inference(self, img: jnp.ndarray) -> jnp.ndarray:
         """img: (B, 3, H, W) RGB in [0, 1] -> dense features.

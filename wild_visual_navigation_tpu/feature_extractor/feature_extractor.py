@@ -81,6 +81,7 @@ class FeatureExtractor:
                 patch_size=kwargs.get("patch_size", 8 if feature_type == "dino" else 14),
                 params=kwargs.get("backbone_params"),
                 attention_impl=kwargs.get("attention_impl"),
+                quant=kwargs.get("quant"),
             )
             self._feature_dim = self._extractor.feature_dim
         elif feature_type == "torchvision":
@@ -131,6 +132,19 @@ class FeatureExtractor:
     @property
     def segmentation_type(self) -> str:
         return self._segmentation_type
+
+    def calibrate(self, sample_batches) -> bool:
+        """Calibrate a quantized backbone on representative frames.
+
+        sample_batches: iterable of (B, 3, H, W) RGB-in-[0,1] batches.
+        Required once before inference when the backbone was built with
+        quant="int8_static" (the static activation scales start at
+        zero); a no-op returning False for every other configuration.
+        """
+        ex = self._extractor
+        if hasattr(ex, "calibrate"):
+            return ex.calibrate(sample_batches)
+        return False
 
     def num_segments(self, height: int, width: int) -> int:
         """Static per-image segment capacity for the configured mode."""

@@ -107,6 +107,7 @@ class FeatureExtractorNode:
             slic_num_components=p.slic_num_components,
             cell_size=p.grid_cell_size,
             backbone_params=backbone_params,
+            quant=p.dino_quant,
         )
         D = self.feature_extractor.feature_dim
         self._S = self.feature_extractor.num_segments(self._H, self._W)

@@ -179,6 +179,7 @@ class WVNRuntime:
                 slic_num_components=fp.slic_num_components,
                 cell_size=fp.grid_cell_size,
                 backbone_params=backbone_params,
+                quant=fp.dino_quant,
             )
             self._S = self.feature_extractor.num_segments(self._H, self._W)
             self._D = self.feature_extractor.feature_dim
@@ -525,6 +526,20 @@ class WVNRuntime:
         self._predict_segments = _predict_segments
 
     # -------------------------------------------------------- inference
+    def calibrate_backbone(self, sample_batches) -> bool:
+        """Calibrate a quantized backbone (fe_params.dino_quant ==
+        "int8_static") on representative (B, 3, H, W) RGB-in-[0,1]
+        frames, then refresh the params the fused frame programs are
+        fed. Value-only (the static scales are traced operands), so
+        compiled programs keep their cache — safe to call before OR
+        after warmup, as long as it runs before real inference. No-op
+        returning False when the backbone isn't statically quantized."""
+        fe = self.feature_extractor
+        if fe is None or not fe.calibrate(sample_batches):
+            return False
+        self._vit_params = fe._extractor.params
+        return True
+
     def _scale_K_cached(self, Ks: np.ndarray, orig_h: int, orig_w: int):
         """Camera intrinsics are static per mission; rescaling them is
         one device dispatch per frame otherwise — a full relay round
