@@ -78,15 +78,15 @@ def test_offline_training_beats_reference_and_shuffle_control(ref):
     from real_data_eval import train_offline
 
     labels = ref.y > 0.5
-    _, scores = train_offline(ref, ref.y, ref.y_valid, epochs=40)
-    a = auroc(scores, labels)
+    _, score = train_offline(ref.x, ref.y, ref.y_valid, epochs=40)
+    a = auroc(score(ref.x), labels)
     # reference stored trav_pred scores 0.9167 on this data
     assert a > 0.95, f"real-data AUROC {a} does not beat the reference's 0.9167"
 
     # label-shuffle control: same trainer, permuted labels -> ~chance
     perm = np.random.RandomState(123).permutation(ref.num_segments)
-    _, shuf = train_offline(ref, ref.y[perm], ref.y_valid[perm], epochs=40, seed=1)
-    assert auroc(shuf, labels) < 0.75, "shuffled-label control should collapse to ~chance"
+    _, score_sh = train_offline(ref.x, ref.y[perm], ref.y_valid[perm], epochs=40, seed=1)
+    assert auroc(score_sh(ref.x), labels) < 0.75, "shuffled-label control should collapse to ~chance"
 
 
 @pytest.mark.slow
@@ -96,11 +96,11 @@ def test_online_estimator_learns_real_data(ref):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from real_data_eval import train_online
 
-    est, scores, losses = train_online(ref, steps=250)
+    est, score_on, losses = train_online(ref.x, ref.y, ref.y_valid, steps=250)
     labels = ref.y > 0.5
     assert est.step >= 200
     assert losses[-1] < 0.3 * losses[0], "online loss did not decrease on real data"
-    a = auroc(scores, labels)
+    a = auroc(score_on(ref.x), labels)
     assert a > 0.95, f"online-trained AUROC {a} below the reference's stored 0.9167"
 
 
