@@ -106,10 +106,14 @@ def main() -> int:
             ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
             capture_output=True, text=True,
         ).stdout.strip()
-        dirty = bool(subprocess.run(
+        # PROGRESS.jsonl is appended by the session driver between
+        # commits (telemetry, not source); it does not make the
+        # artifact uncitable, so it is excluded from the dirty flag.
+        status = subprocess.run(
             ["git", "status", "--porcelain"], cwd=REPO,
             capture_output=True, text=True,
-        ).stdout.strip())
+        ).stdout.strip().splitlines()
+        dirty = any(not line.endswith("PROGRESS.jsonl") for line in status)
     except OSError:
         rev, dirty = "unknown", True
 
