@@ -135,8 +135,14 @@ def main() -> int:
         # transport-probe sample immediately before the section: the
         # relay's round-trip latency at measurement time, for
         # adjudicating slow/jittery sections (benchmarks/probe.py)
+        # the tunnel's PJRT init sporadically hangs (see the verify
+        # recipe); a hung probe is an init artifact, not a transport
+        # sample, so retry once with a short leash before giving up
         probe = run_section(f"probe_before_{key}",
-                            [sys.executable, "benchmarks/probe.py"], 300)
+                            [sys.executable, "benchmarks/probe.py"], 120)
+        if not probe.get("ok"):
+            probe = run_section(f"probe_before_{key}",
+                                [sys.executable, "benchmarks/probe.py"], 120)
         section = run_section(key, argv, timeout)
         section["probe_before"] = probe.get("result", {"error": probe.get("error")})
         out["sections"][key] = section
