@@ -43,11 +43,56 @@ from __future__ import annotations
 
 import json
 import statistics
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
+
+# ---- relay-outage supervision -------------------------------------
+# The shared TPU relay has outage windows in which ONE in-flight RPC
+# never returns: the PJRT client's main thread then waits on a futex
+# behind an epoll thread forever, while a FRESH process connects and
+# runs fine (observed 2026-08-20: probe.py at 25 ms p50, then minutes
+# later the same binary hangs indefinitely pre-first-dispatch).
+# Nothing in-process can recover a swallowed RPC, so the benchmark
+# runs in a child process: a hung attempt costs one timeout, not the
+# round's artifact. `--inner` marks the child (the actual measurement).
+ATTEMPTS = 3
+ATTEMPT_TIMEOUT_S = 480  # healthy full run ~3-5 min incl. compiles
+
+
+def supervise() -> int:
+    last_err = "unknown"
+    for attempt in range(ATTEMPTS):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", __file__, "--inner"],
+                stdout=subprocess.PIPE, timeout=ATTEMPT_TIMEOUT_S,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt + 1} hung >{ATTEMPT_TIMEOUT_S}s (relay outage window)"
+            print(last_err, file=sys.stderr)
+            time.sleep(10)  # let the relay window pass before reconnecting
+            continue
+        for line in (proc.stdout or b"").decode().splitlines():
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(parsed, dict) and "metric" in parsed:
+                print(line)
+                return 0
+        last_err = f"attempt {attempt + 1} exited rc={proc.returncode} without a result line"
+        print(last_err, file=sys.stderr)
+        time.sleep(10)
+    print(json.dumps({
+        "metric": "dinov2_vits14_448px_pixelwise_traversability_throughput",
+        "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
+        "error": f"all {ATTEMPTS} attempts failed: {last_err}",
+    }))
+    return 1
 
 BASELINE_IMAGES_PER_SEC = 10.0  # reference per-camera rate gate (design point)
 SIZE = 448
@@ -240,4 +285,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        sys.exit(supervise())

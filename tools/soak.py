@@ -73,6 +73,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -410,7 +411,14 @@ def run_soak(args) -> dict:
     # a native host leak (libwvn_native, jaxlib buffers) cannot pass.
     host_bound_mode = "tracemalloc(relay)" if relay else "rss"
     ok_host = (py_growth < args.py_budget_mb) if relay else (rss_growth < args.rss_budget_mb)
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             cwd=str(Path(__file__).resolve().parent.parent),
+                             capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        rev = "unknown"
     result = {
+        "git_rev": rev,
         "config": {
             "frames": args.frames, "size": size, "cameras": args.cameras,
             "seg": "grid" if args.product else args.seg,
